@@ -1,0 +1,306 @@
+"""ResUNet descriptor backbone: ResNet encoder + U-Net decoder (flax, NHWC).
+
+TPU-first rebuild of the reference DescNet (networks/DescNet.py:11-165):
+same topology and numerics (Conv+BN+ELU decoder blocks, bilinear ×2
+align_corners=True upsampling, pad-corrected skip concat), implemented as
+flax.linen modules with a configurable compute dtype (bf16 on TPU, f32
+params/statistics). The torchvision encoder is re-implemented natively;
+ImageNet weights can be imported via tools/import_torch_weights.py.
+
+Outputs (NHWC): {'global_map': H/16 × coarse_out_ch,
+                 'local_map': H/4 × fine_out_ch,
+                 'local_map_small': H/4 × 64 (post-maxpool stem)}.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import interpolate_bilinear
+
+# layer configs of the torchvision families (only layers 1-3 are used)
+_ENCODERS = {
+    "resnet18": ("basic", (2, 2, 2), 1),
+    "resnet34": ("basic", (3, 4, 6), 1),
+    "resnet50": ("bottleneck", (3, 4, 6), 1),
+    "resnet101": ("bottleneck", (3, 4, 23), 1),
+    "resnet152": ("bottleneck", (3, 8, 36), 1),
+    "wide_resnet50_2": ("bottleneck", (3, 4, 6), 2),
+}
+
+
+def _bn(train: bool, dtype, name: str):
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def _conv(out_ch, kernel, stride, dtype, name, use_bias=False):
+    p = (kernel - 1) // 2
+    # HIGHEST: exact f32 when dtype is f32 (this jax build's default would
+    # silently downcast to bf16); native-speed when dtype is bf16.
+    return nn.Conv(
+        out_ch,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(p, p), (p, p)],
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = _conv(self.planes, 3, self.stride, self.dtype, "conv1")(x)
+        out = _bn(train, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, self.dtype, "conv2")(out)
+        out = _bn(train, self.dtype, "bn2")(out)
+        if self.downsample:
+            identity = _conv(self.planes, 1, self.stride, self.dtype, "ds_conv")(x)
+            identity = _bn(train, self.dtype, "ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    width_mult: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = self.planes * self.width_mult
+        identity = x
+        out = _conv(width, 1, 1, self.dtype, "conv1")(x)
+        out = _bn(train, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(width, 3, self.stride, self.dtype, "conv2")(out)
+        out = _bn(train, self.dtype, "bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, 1, self.dtype, "conv3")(out)
+        out = _bn(train, self.dtype, "bn3")(out)
+        if self.downsample:
+            identity = _conv(self.planes * 4, 1, self.stride, self.dtype, "ds_conv")(x)
+            identity = _bn(train, self.dtype, "ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """torchvision-compatible ResNet stem + layers 1-3 (DescNet.py:27-35)."""
+
+    encoder: str = "resnet50"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_kind, counts, width_mult = _ENCODERS[self.encoder]
+        x = _conv(64, 7, 2, self.dtype, "firstconv")(x)
+        x = _bn(train, self.dtype, "firstbn")(x)
+        x = nn.relu(x)
+        x_first = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        feats = [x_first]
+        out = x_first
+        for li, (n_blocks, planes, stride) in enumerate(
+            zip(counts, (64, 128, 256), (1, 2, 2))
+        ):
+            for bi in range(n_blocks):
+                s = stride if bi == 0 else 1
+                if block_kind == "bottleneck":
+                    need_ds = bi == 0  # layer1 expands 64->256 even at stride 1
+                    out = Bottleneck(
+                        planes, s, need_ds, width_mult, self.dtype,
+                        name=f"layer{li + 1}_{bi}",
+                    )(out, train)
+                else:
+                    need_ds = bi == 0 and (s != 1 or li > 0)
+                    out = BasicBlock(
+                        planes, s, need_ds, self.dtype, name=f"layer{li + 1}_{bi}"
+                    )(out, train)
+            feats.append(out)
+        return feats  # [x_first(H/4,64), x1(H/4), x2(H/8), x3(H/16)]
+
+
+class ConvBNElu(nn.Module):
+    """The reference's `conv` block: Conv2d + BN + ELU (DescNet.py:167-179)."""
+
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _conv(self.out_ch, self.kernel, self.stride, self.dtype, "conv",
+                  use_bias=True)(x)
+        x = _bn(train, self.dtype, "bn")(x)
+        return nn.elu(x)
+
+
+class UpConv(nn.Module):
+    """bilinear ×scale (align_corners=True) + ConvBNElu (DescNet.py:182-190)."""
+
+    out_ch: int
+    kernel: int = 3
+    scale: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        x = interpolate_bilinear(
+            x, (H * self.scale, W * self.scale), align_corners=True
+        )
+        return ConvBNElu(self.out_ch, self.kernel, 1, self.dtype, name="conv")(
+            x, train
+        )
+
+
+def _skipconnect(x1, x2):
+    """Zero-pad x1 to x2's spatial size, concat channels (DescNet.py:50-62)."""
+    dy = x2.shape[1] - x1.shape[1]
+    dx = x2.shape[2] - x1.shape[2]
+    x1 = jnp.pad(
+        x1,
+        ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)),
+    )
+    return jnp.concatenate([x2, x1], axis=-1)
+
+
+class ResUNet(nn.Module):
+    """Dense-descriptor U-Net (reference networks/DescNet.py:11-84)."""
+
+    encoder: str = "resnet50"
+    pretrained: bool = True  # weights imported externally; kept for config parity
+    coarse_out_ch: int = 128
+    fine_out_ch: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.encoder in _ENCODERS, f"Incorrect encoder type {self.encoder}"
+        x = x.astype(self.dtype)
+        x_first, x1, x2, x3 = ResNetEncoder(self.encoder, self.dtype, name="encoder")(
+            x, train
+        )
+
+        x_coarse = ConvBNElu(self.coarse_out_ch, 1, 1, self.dtype, name="conv_coarse")(
+            x3, train
+        )
+
+        y = UpConv(512, 3, 2, self.dtype, name="upconv3")(x3, train)
+        y = _skipconnect(y, x2)
+        y = ConvBNElu(512, 3, 1, self.dtype, name="iconv3")(y, train)
+
+        y = UpConv(256, 3, 2, self.dtype, name="upconv2")(y, train)
+        y = _skipconnect(y, x1)
+        y = ConvBNElu(256, 3, 1, self.dtype, name="iconv2")(y, train)
+
+        x_fine = ConvBNElu(self.fine_out_ch, 1, 1, self.dtype, name="conv_fine")(
+            y, train
+        )
+
+        return {
+            "global_map": x_coarse,
+            "local_map": x_fine,
+            "local_map_small": x_first,
+        }
+
+    @property
+    def out_channels(self):
+        return [self.fine_out_ch, self.coarse_out_ch]
+
+
+class ResUNetHR(nn.Module):
+    """High-res variant with one more decoder level to H/2 (DescNet.py:86-165)."""
+
+    encoder: str = "resnet50"
+    pretrained: bool = True
+    coarse_out_ch: int = 128
+    fine_out_ch: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        # stem kept un-pooled for the H/2 skip (DescNet.py:142-143)
+        h = _conv(64, 7, 2, self.dtype, "stem_conv")(x)
+        h = _bn(train, self.dtype, "stem_bn")(h)
+        x_first1 = nn.relu(h)
+        x_first = nn.max_pool(
+            x_first1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        block_kind, counts, width_mult = _ENCODERS[self.encoder]
+        out = x_first
+        feats = []
+        for li, (n_blocks, planes, stride) in enumerate(
+            zip(counts, (64, 128, 256), (1, 2, 2))
+        ):
+            for bi in range(n_blocks):
+                s = stride if bi == 0 else 1
+                if block_kind == "bottleneck":
+                    out = Bottleneck(
+                        planes, s, bi == 0, width_mult, self.dtype,
+                        name=f"layer{li + 1}_{bi}",
+                    )(out, train)
+                else:
+                    need_ds = bi == 0 and (s != 1 or li > 0)
+                    out = BasicBlock(
+                        planes, s, need_ds, self.dtype, name=f"layer{li + 1}_{bi}"
+                    )(out, train)
+            feats.append(out)
+        x1, x2, x3 = feats
+
+        x_coarse = ConvBNElu(self.coarse_out_ch, 1, 1, self.dtype, name="conv_coarse")(
+            x3, train
+        )
+
+        y = UpConv(512, 3, 2, self.dtype, name="upconv3")(x3, train)
+        y = _skipconnect(y, x2)
+        y = ConvBNElu(512, 3, 1, self.dtype, name="iconv3")(y, train)
+
+        y = UpConv(256, 3, 2, self.dtype, name="upconv2")(y, train)
+        y = _skipconnect(y, x1)
+        y = ConvBNElu(256, 3, 1, self.dtype, name="iconv2")(y, train)
+
+        y = UpConv(192, 3, 2, self.dtype, name="upconv1")(y, train)
+        y = _skipconnect(y, x_first1)
+        y = ConvBNElu(256, 3, 1, self.dtype, name="iconv1")(y, train)
+
+        x_fine = ConvBNElu(self.fine_out_ch, 1, 1, self.dtype, name="conv_fine")(
+            y, train
+        )
+        return {
+            "global_map": x_coarse,
+            "local_map": x_fine,
+            "local_map_small": x_first1,
+        }
+
+    @property
+    def out_channels(self):
+        return [self.fine_out_ch, self.coarse_out_ch]

@@ -1,0 +1,219 @@
+"""Inference keypoint detectors: NMS + threshold + coordinate refinement +
+top-k (reference preprocess_utils.py:196-429).
+
+TPU reformulation: XLA needs static shapes, so every detector returns a
+fixed `num_pts` slate plus `valid_count` per image; the host-side
+extractor trims to the reference's dynamic count
+max(min(num_pts, valid_count), 128) (putils:249-261) before writing
+features. Selection order is identical (top-k of the masked score map,
+ties to the lower flat index, like torch.topk on contiguous maps).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .coords import gen_grid
+from .nms import nms, soft_nms
+from .pooling import avg_pool2d, max_pool2d
+from .samplers import unfold, gumbel_topk_select
+
+
+def _thr_mask(interior: jnp.ndarray, thr, thr_mod: str) -> jnp.ndarray:
+    """interior: [B, h', w', 1] -> bool mask (putils:232-240)."""
+    B = interior.shape[0]
+    flat = interior.reshape(B, -1)
+    if thr_mod == "max":
+        kp_thr = flat.max(axis=1)
+    elif thr_mod == "mean":
+        kp_thr = flat.mean(axis=1)
+    elif thr_mod == "abs":
+        kp_thr = jnp.ones((B,), interior.dtype)
+    else:
+        raise ValueError(f"unknown thr_mod {thr_mod}")
+    return interior > thr * kp_thr.reshape(B, 1, 1, 1)
+
+
+def generate_kpts_single(
+    kp_map: jnp.ndarray,
+    *,
+    num_pts: int,
+    nms_radius: int,
+    use_nms=True,
+    thr=False,
+    thr_mod: str = "mean",
+    stable: bool = True,
+    temperature: float = 1.0,
+    key: jax.Array = None,
+    stride: int = 1,
+    scale: int = 4,
+):
+    """Full-image detector with 3×3 soft coordinate refinement (putils:215-278).
+
+    kp_map: [B, H, W, 1] full-res score map. Returns
+    (kps_n [B, num_pts, 2] normalized, scores [B, num_pts, 1],
+    valid_count [B] int32 = #selectable positions, pre-floor).
+    """
+    B, H, W, _ = kp_map.shape
+    interior = kp_map[:, 1:-1, 1:-1, :]  # [B, H-2, W-2, 1]
+
+    if use_nms == "softnms":
+        nms_mask = soft_nms(interior, nms_radius)
+        count_src = None  # counted from thr_mask below
+    elif use_nms:
+        nms_mask = nms(interior, nms_radius).astype(kp_map.dtype)
+        count_src = nms_mask
+    else:
+        nms_mask = jnp.ones_like(interior)
+        count_src = nms_mask
+
+    if thr:
+        tmask = _thr_mask(interior, thr, thr_mod)
+        nms_mask = tmask.astype(kp_map.dtype) * nms_mask
+        if use_nms == "softnms":
+            count_src = tmask.astype(kp_map.dtype)
+        else:
+            count_src = nms_mask
+
+    # 3×3 score-weighted coordinate refinement (putils:242-247)
+    grids_org = gen_grid(-1, 1, -1, 1, H, W, dtype=kp_map.dtype).reshape(1, H, W, 2)
+    grids = avg_pool2d(kp_map * grids_org, 3, stride) / avg_pool2d(kp_map, 3, stride)
+    kp_score_map = max_pool2d(kp_map, 3, stride)
+
+    valid_count = count_src.reshape(B, -1).sum(axis=1).astype(jnp.int32)
+
+    masked = (nms_mask * interior).reshape(B, -1)
+    if stable:
+        scores_sel, idx = jax.lax.top_k(masked, num_pts)
+        kps = jnp.take_along_axis(
+            grids.reshape(B, -1, 2), idx[..., None], axis=1
+        )
+        kp_score = jnp.take_along_axis(
+            kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
+        )
+    else:
+        assert key is not None, "gumbel sampling requires a PRNG key"
+        select = gumbel_topk_select(
+            nms_mask * interior, num_pts, key, temperature
+        )  # [B, num_pts, h'w']
+        h2, w2 = H - 2, W - 2
+        kps = select @ grids.reshape(B, h2 * w2, 2)
+        kp_score = select @ interior.reshape(B, h2 * w2, 1)
+
+    return kps, kp_score, valid_count
+
+
+def generate_kpts_single_noavg(
+    kp_map: jnp.ndarray,
+    *,
+    num_pts: int,
+    nms_radius: int,
+    use_nms=True,
+    thr=False,
+    thr_mod: str = "mean",
+    stable: bool = True,
+    temperature: float = 1.0,
+    key: jax.Array = None,
+    stride: int = 1,
+    scale: int = 4,
+):
+    """Detector without coordinate refinement (putils:280-336).
+
+    Operates on the full map (no interior crop). Same static-slate return.
+    """
+    B, H, W, _ = kp_map.shape
+    if use_nms == "softnms":
+        nms_mask = soft_nms(kp_map, nms_radius)
+        count_src = None
+    elif use_nms:
+        nms_mask = nms(kp_map, nms_radius).astype(kp_map.dtype)
+        count_src = nms_mask
+    else:
+        nms_mask = jnp.ones_like(kp_map)
+        count_src = nms_mask
+
+    if thr:
+        tmask = _thr_mask(kp_map, thr, thr_mod)
+        nms_mask = tmask.astype(kp_map.dtype) * nms_mask
+        count_src = tmask.astype(kp_map.dtype) if use_nms == "softnms" else nms_mask
+
+    grids = gen_grid(-1, 1, -1, 1, H, W, dtype=kp_map.dtype).reshape(1, H, W, 2)
+    grids = jnp.broadcast_to(grids, (B, H, W, 2))
+    valid_count = count_src.reshape(B, -1).sum(axis=1).astype(jnp.int32)
+
+    masked = (nms_mask * kp_map).reshape(B, -1)
+    _, idx = jax.lax.top_k(masked, num_pts)
+    kps = jnp.take_along_axis(grids.reshape(B, -1, 2), idx[..., None], axis=1)
+    kp_score = jnp.take_along_axis(
+        kp_map.reshape(B, -1, 1), idx[..., None], axis=1
+    )
+    return kps, kp_score, valid_count
+
+
+def generate_kpts_regular_grid_single(
+    kp_map: jnp.ndarray,
+    *,
+    grid_size: int,
+    num_pts: int = 0,
+    stable: bool = True,
+    use_nms=True,
+    nms_radius: int = None,
+    thr=None,
+    thr_mod: str = "mean",
+    key: jax.Array = None,
+):
+    """Grid-cell argmax/sample detector (putils:375-429).
+
+    Returns (kps_n [B, num_pts, 2], scores [B, num_pts, 1], valid_count [B]).
+    If num_pts == 0 the full cell slate (hg*wg points) is returned.
+    """
+    B, H, W, _ = kp_map.shape
+    if use_nms == "softnms":
+        kp_map = soft_nms(kp_map, nms_radius) * kp_map
+        nms_mask = jnp.ones_like(kp_map, dtype=bool)
+    elif use_nms:
+        nms_mask = nms(kp_map, nms_radius)
+    else:
+        nms_mask = jnp.ones_like(kp_map, dtype=bool)
+
+    if thr is not None:
+        nms_mask = _thr_mask(kp_map, thr, thr_mod) & nms_mask
+
+    grids = gen_grid(-1, 1, -1, 1, H, W, dtype=kp_map.dtype).reshape(1, H, W, 2)
+    grids_cells = unfold(jnp.broadcast_to(grids, (B, H, W, 2)), grid_size)
+    map_cells = unfold(kp_map, grid_size)[:, :, :, 0, :]  # [B, hg, wg, g*g]
+    nms_cells = unfold(nms_mask.astype(kp_map.dtype), grid_size)[:, :, :, 0, :]
+
+    probs = jax.nn.softmax(map_cells, axis=-1)
+    if stable:
+        idx = jnp.argmax(probs, axis=-1)
+    else:
+        assert key is not None
+        idx = jax.random.categorical(key, map_cells, axis=-1)
+
+    kps = jnp.take_along_axis(
+        grids_cells, idx[:, :, :, None, None].astype(jnp.int32), axis=-1
+    )[..., 0]  # [B, hg, wg, 2]
+    score = jnp.take_along_axis(map_cells, idx[..., None], axis=-1)
+    mask = jnp.take_along_axis(nms_cells, idx[..., None], axis=-1)
+
+    kps = kps.reshape(B, -1, 2)
+    score = score.reshape(B, -1, 1)
+    mask = mask.reshape(B, -1, 1)
+    valid_count = mask[..., 0].sum(axis=1).astype(jnp.int32)
+
+    if num_pts:
+        top_score, top_idx = jax.lax.top_k((mask * score)[..., 0], num_pts)
+        kps = jnp.take_along_axis(kps, top_idx[..., None], axis=1)
+        score = top_score[..., None]
+    return kps, score, valid_count
+
+
+DETECTORS = {
+    "generate_kpts_single": generate_kpts_single,
+    "generate_kpts_single_noavg": generate_kpts_single_noavg,
+    "generate_kpts_regular_grid_single": generate_kpts_regular_grid_single,
+}

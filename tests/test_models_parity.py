@@ -1,0 +1,201 @@
+"""Full-model numeric parity: torch replicas (structured like the reference
+networks) with random weights -> torch_import -> our flax modules.
+
+Validates the model math AND the checkpoint-conversion mapping end to end.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from posfeat_tpu.core.torch_import import import_resunet, import_keypoint_det
+from posfeat_tpu.models import ResUNet, KeypointDet
+from posfeat_tpu.ops.resize import interpolate_bilinear
+
+
+# ---------------------------------------------------------------- replicas
+
+
+class TBottleneck(tnn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        idt = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return F.relu(out + idt)
+
+
+def _make_layer(inplanes, planes, blocks, stride):
+    downsample = tnn.Sequential(
+        tnn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+        tnn.BatchNorm2d(planes * 4),
+    )
+    layers = [TBottleneck(inplanes, planes, stride, downsample)]
+    for _ in range(1, blocks):
+        layers.append(TBottleneck(planes * 4, planes))
+    return tnn.Sequential(*layers)
+
+
+class TConv(tnn.Module):
+    def __init__(self, cin, cout, k, s):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, s, (k - 1) // 2)
+        self.bn = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return F.elu(self.bn(self.conv(x)))
+
+
+class TUpconv(tnn.Module):
+    def __init__(self, cin, cout, k, scale):
+        super().__init__()
+        self.scale = scale
+        self.conv = TConv(cin, cout, k, 1)
+
+    def forward(self, x):
+        x = F.interpolate(x, scale_factor=self.scale, align_corners=True, mode="bilinear")
+        return self.conv(x)
+
+
+class TResUNet(tnn.Module):
+    """torch golden with reference ResUNet structure (resnet50 encoder)."""
+
+    def __init__(self):
+        super().__init__()
+        self.firstconv = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.firstbn = tnn.BatchNorm2d(64)
+        self.firstmaxpool = tnn.MaxPool2d(3, 2, 1)
+        self.layer1 = _make_layer(64, 64, 3, 1)
+        self.layer2 = _make_layer(256, 128, 4, 2)
+        self.layer3 = _make_layer(512, 256, 6, 2)
+        self.conv_coarse = TConv(1024, 128, 1, 1)
+        self.upconv3 = TUpconv(1024, 512, 3, 2)
+        self.iconv3 = TConv(512 + 512, 512, 3, 1)
+        self.upconv2 = TUpconv(512, 256, 3, 2)
+        self.iconv2 = TConv(256 + 256, 256, 3, 1)
+        self.conv_fine = TConv(256, 128, 1, 1)
+
+    def forward(self, x):
+        x = F.relu(self.firstbn(self.firstconv(x)))
+        x_first = self.firstmaxpool(x)
+        x1 = self.layer1(x_first)
+        x2 = self.layer2(x1)
+        x3 = self.layer3(x2)
+        x_coarse = self.conv_coarse(x3)
+        y = self.upconv3(x3)
+        y = torch.cat([x2, y], dim=1)
+        y = self.iconv3(y)
+        y = self.upconv2(y)
+        y = torch.cat([x1, y], dim=1)
+        y = self.iconv2(y)
+        x_fine = self.conv_fine(y)
+        return {"global_map": x_coarse, "local_map": x_fine, "local_map_small": x_first}
+
+
+class TKeypointDet(tnn.Module):
+    def __init__(self, in_channels=192, out_channels=2):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_channels, in_channels, 3, 1, 1)
+        self.conv2 = tnn.Conv2d(in_channels + 64, 128, 3, 1, 1)
+        self.conv3 = tnn.Conv2d(128, out_channels, 1, 1, 0)
+        self.relu = tnn.PReLU()
+        self.convimg = tnn.Conv2d(3, 64, 3, 1, 1)
+        self.inorm = lambda x: F.instance_norm(x)
+
+    def forward(self, fine_map, img):
+        x_pf = torch.ones_like(fine_map).mean(1, True)
+        x_pi = torch.ones_like(img).mean(1, True)
+        x = self.relu(self.inorm(self.conv1(x_pf * fine_map)))
+        x = F.interpolate(x, img.shape[2:], align_corners=False, mode="bilinear")
+        img_t = self.inorm(self.convimg(x_pi * img))
+        x = torch.cat([x, img_t], dim=1)
+        x = self.relu(self.inorm(self.conv2(x)))
+        score = F.softplus(self.inorm(self.conv3(x)))
+        score = (
+            F.interpolate(x_pf, img.shape[2:], align_corners=False, mode="bilinear").mean(1, True)
+            * x_pi.mean(1, True)
+            * score
+        )
+        return score
+
+
+# ------------------------------------------------------------------- tests
+
+
+def test_resize_matches_torch(rng):
+    x = torch.from_numpy(rng.rand(2, 5, 12, 16).astype(np.float32))
+    for ac, size in [(True, (24, 32)), (False, (24, 32)), (False, (48, 64)), (True, (7, 9))]:
+        ref = F.interpolate(x, size, mode="bilinear", align_corners=ac)
+        ours = interpolate_bilinear(
+            jnp.asarray(x.permute(0, 2, 3, 1).numpy()), size, align_corners=ac
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_resunet_parity(rng):
+    torch.manual_seed(0)
+    tmodel = TResUNet().eval()
+    # randomize BN running stats so the import path is actually exercised
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x_t = torch.from_numpy(rng.rand(1, 3, 64, 80).astype(np.float32))
+    with torch.no_grad():
+        ref = tmodel(x_t)
+
+    variables = jax.tree.map(jnp.asarray, import_resunet(tmodel.state_dict()))
+    model = ResUNet(encoder="resnet50")
+    ours = model.apply(variables, jnp.asarray(x_t.permute(0, 2, 3, 1).numpy()), train=False)
+
+    for key_ in ("global_map", "local_map", "local_map_small"):
+        np.testing.assert_allclose(
+            np.asarray(ours[key_]),
+            ref[key_].permute(0, 2, 3, 1).numpy(),
+            rtol=1e-3,
+            atol=2e-4,
+            err_msg=key_,
+        )
+
+
+def test_keypoint_det_parity(rng):
+    torch.manual_seed(1)
+    tmodel = TKeypointDet().eval()
+    fm = torch.from_numpy(rng.rand(1, 192, 16, 20).astype(np.float32))
+    img = torch.from_numpy(rng.rand(1, 3, 64, 80).astype(np.float32))
+    with torch.no_grad():
+        ref = tmodel(fm, img)
+
+    variables = jax.tree.map(jnp.asarray, import_keypoint_det(tmodel.state_dict()))
+    model = KeypointDet(in_channels=192, out_channels=2, prior="identity", act="Softplus")
+    ours = model.apply(
+        variables,
+        jnp.asarray(fm.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(img.permute(0, 2, 3, 1).numpy()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=2e-4
+    )
