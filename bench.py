@@ -1,0 +1,127 @@
+"""Extraction throughput benchmark — the repo's headline perf metric.
+
+Measures images/sec/chip for the full flagship extraction program
+(ResUNet-50 + KeypointDet forward, NMS + top-k + 3×3 refinement,
+descriptor sampling) at 480×640 — the reference's standard resolution.
+
+Methodology: the axon TPU relay dispatches asynchronously and
+block_until_ready does not synchronize, so timing is done by running
+N_SCAN extraction steps inside ONE jitted lax.scan and fetching a scalar
+that depends on every step — a single host round-trip (~20 ms) amortized
+over N_SCAN×batch images.
+
+Baseline: the reference PyTorch pipeline on an RTX 3090 (BASELINE.md).
+The repo publishes no throughput number; 25 images/s is our estimate for
+batch-1 ResNet-50-UNet + full-res head inference at 640×480 on a 3090,
+used as the comparison denominator (vs_baseline = ours / 25).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+BASELINE_IMAGES_PER_SEC = 25.0
+H, W = 480, 640
+
+
+def build_extract(model, num_pts=8192):
+    from posfeat_tpu.ops.coords import denormalize_coords
+    from posfeat_tpu.ops.detect import generate_kpts_single
+    from posfeat_tpu.ops.grid_sample import sample_feat_by_coord
+
+    def extract(variables, im):
+        outputs = model.extract(variables, im, train=False)
+        coord_n, score, valid = generate_kpts_single(
+            outputs["local_point"],
+            num_pts=num_pts,
+            nms_radius=1,
+            use_nms=True,
+            thr=0.9,
+            thr_mod="abs",
+        )
+        feat = sample_feat_by_coord(outputs["local_map"], coord_n, norm=True)
+        coords = denormalize_coords(coord_n, H, W)
+        return coords, score, feat, valid
+
+    return extract
+
+
+def bench_extraction(batch_size: int, dtype, n_scan: int = 8):
+    from __graft_entry__ import FLAGSHIP_MODEL_CONFIG
+    from posfeat_tpu.models import PoSFeat
+
+    model = PoSFeat(FLAGSHIP_MODEL_CONFIG, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), im_shape=(1, 64, 64, 3))
+    extract = build_extract(model)
+
+    @jax.jit
+    def run(variables, ims):
+        def body(carry, im):
+            coords, score, feat, valid = extract(variables, im)
+            contrib = (
+                jnp.sum(coords.astype(jnp.float32))
+                + jnp.sum(feat[:, :8].astype(jnp.float32))
+                + jnp.sum(valid)
+            )
+            return carry + contrib, None
+
+        acc, _ = jax.lax.scan(body, 0.0, ims)
+        return acc
+
+    rng = np.random.RandomState(0)
+    ims = jnp.asarray(
+        rng.rand(n_scan, batch_size, H, W, 3).astype(np.float32)
+    )
+
+    # warmup: includes (possibly slow remote) compile; fetch forces full
+    # execution
+    v = float(run(variables, ims))
+    assert np.isfinite(v)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = float(run(variables, ims))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return n_scan * batch_size / dt
+
+
+def main():
+    backend = jax.default_backend()
+    results = {}
+    configs = [(1, jnp.float32), (8, jnp.float32), (8, jnp.bfloat16), (16, jnp.bfloat16)]
+    if backend == "cpu":  # keep CI fast
+        configs = [(1, jnp.float32)]
+    for bs, dt in configs:
+        try:
+            ips = bench_extraction(bs, dt, n_scan=2 if backend == "cpu" else 8)
+            results[f"bs{bs}_{dt.__name__}"] = ips
+            print(
+                f"# extraction bs={bs} dtype={dt.__name__}: {ips:.2f} im/s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench bs={bs} {dt.__name__} failed: {e}", file=sys.stderr)
+    best = max(results.values()) if results else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_640px_extraction",
+                "value": round(best, 3),
+                "unit": "im/s",
+                "vs_baseline": round(best / BASELINE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

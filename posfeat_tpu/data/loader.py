@@ -1,0 +1,130 @@
+"""Threaded prefetching batch loader.
+
+The TPU equivalent of the reference's DataLoader workers: decoding, SIFT,
+ColorJitter, and pose→F math run in a thread pool (OpenCV releases the
+GIL) while the device computes the previous batch. None samples (filtered
+pairs) are skipped and replaced so every batch has the full static batch
+size — XLA never sees a ragged batch (unlike the reference's my_collate,
+which would trigger a recompile per batch size).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+_STACK_KEYS_EXCLUDE = ("name1", "name2", "pad1", "pad2")
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack numpy sample dicts into a batch dict."""
+    out: Dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key in _STACK_KEYS_EXCLUDE:
+            out[key] = vals if len(vals) > 1 else vals
+        else:
+            out[key] = np.stack(vals)
+    return out
+
+
+class PrefetchLoader:
+    """Iterate dataset indices -> full batches, with worker threads.
+
+    :param dataset: indexable returning dict or None
+    :param batch_size: static batch size (None samples are replaced)
+    :param shuffle: reshuffle indices each epoch
+    :param num_workers: prefetch threads
+    :param prefetch: max prepared samples in flight
+    :param seed: shuffle seed
+    :param infinite: loop forever over epochs
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 16,
+        seed: int = 0,
+        infinite: bool = False,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(prefetch, 2 * batch_size)
+        self.seed = seed
+        self.infinite = infinite
+        self.drop_last = drop_last
+
+    def _index_stream(self) -> Iterator[int]:
+        epoch = 0
+        n = len(self.dataset)
+        while True:
+            idx = np.arange(n)
+            if self.shuffle:
+                np.random.RandomState(self.seed + epoch).shuffle(idx)
+            yield from idx.tolist()
+            epoch += 1
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[Dict]:
+        sample_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending = []
+                for i in self._index_stream():
+                    if stop.is_set():
+                        break
+                    pending.append(pool.submit(self.dataset.__getitem__, i))
+                    while len(pending) >= self.num_workers * 2:
+                        fut = pending.pop(0)
+                        sample_q.put(("item", fut.result()))
+                for fut in pending:
+                    if stop.is_set():
+                        break
+                    sample_q.put(("item", fut.result()))
+            sample_q.put(("end", None))
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+
+        try:
+            batch: List[Dict] = []
+            while True:
+                kind, sample = sample_q.get()
+                if kind == "end":
+                    break
+                if sample is None:  # filtered pair — skip, keep filling
+                    continue
+                batch.append(sample)
+                if len(batch) == self.batch_size:
+                    yield collate(batch)
+                    batch = []
+            if batch and not self.drop_last:
+                yield collate(batch)
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            try:
+                while True:
+                    sample_q.get_nowait()
+            except queue.Empty:
+                pass
+
+
+def cycle(iterable):
+    """Infinite iterator (putils:805-808)."""
+    while True:
+        for x in iterable:
+            yield x

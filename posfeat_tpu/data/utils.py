@@ -1,0 +1,135 @@
+"""Host-side geometry and image helpers (reference datasets/data_utils.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_image(im: np.ndarray) -> np.ndarray:
+    """uint8 HWC RGB -> float32 HWC ImageNet-normalized."""
+    x = im.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def crop_mod16(im: np.ndarray) -> np.ndarray:
+    """Crop H and W down to multiples of 16 (hpatches.py:36-38)."""
+    h, w = im.shape[:2]
+    return im[: h - h % 16, : w - w % 16]
+
+
+def skew(x: np.ndarray) -> np.ndarray:
+    """Skew-symmetric cross-product matrix (data_utils.py:8-11)."""
+    return np.array(
+        [[0, -x[2], x[1]], [x[2], 0, -x[0]], [-x[1], x[0], 0]], dtype=np.float64
+    )
+
+
+def relative_pose_to_fundamental(K1, K2, extrinsic1, extrinsic2):
+    """Camera intrinsics + world-to-cam extrinsics -> (F 1→2, relative pose).
+
+    Same math as megadepth.py:426-448: relative = E2 @ inv(E1),
+    E = [t]x R, F = inv(K2)^T E inv(K1).
+    """
+    relative = extrinsic2 @ np.linalg.inv(extrinsic1)
+    R = relative[:3, :3]
+    T = relative[:3, 3]
+    E = skew(T) @ R
+    F = np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
+    return F, relative
+
+
+def rotation_angle_deg(R: np.ndarray) -> float:
+    return float(
+        np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)) * 180 / np.pi
+    )
+
+
+def prune_kpts(coord1, F_gt, im2_size, intrinsic1, intrinsic2, pose, d_min, d_max):
+    """Epipolar + depth-range visibility pruning (data_utils.py:81-116)."""
+    coord1_h = np.concatenate([coord1, np.ones_like(coord1[:, [0]])], axis=1).T
+    line = F_gt.dot(coord1_h)
+    line = line / np.clip(np.linalg.norm(line[:2], axis=0), 1e-10, None)
+
+    h2, w2 = im2_size
+    corners = np.array(
+        [[0, 0, 1], [0, h2 - 1, 1], [w2 - 1, 0, 1], [w2 - 1, h2 - 1, 1]]
+    )
+    dists = np.abs(corners.dot(line))
+    non_intersect = (dists > np.sqrt(w2**2 + h2**2)).any(axis=0)
+
+    K1_4 = np.eye(4)
+    K1_4[:3, :3] = intrinsic1
+    K2_4 = np.eye(4)
+    K2_4[:3, :3] = intrinsic2
+    pose4 = np.eye(4)
+    pose4[:3, :] = pose[:3, :]
+
+    def proj(depth):
+        ch = np.concatenate(
+            [
+                depth * coord1,
+                depth * np.ones_like(coord1[:, [0]]),
+                np.ones_like(coord1[:, [0]]),
+            ],
+            axis=1,
+        ).T
+        c2 = K2_4.dot(pose4).dot(np.linalg.inv(K1_4)).dot(ch)
+        return c2[:2] / (ch[2] + 1e-10)
+
+    c_min, c_max = proj(d_min), proj(d_max)
+    out_range = (
+        ((c_min[0] < 0) & (c_max[0] < 0))
+        | ((c_min[1] < 0) & (c_max[1] < 0))
+        | ((c_min[0] > w2 - 1) & (c_max[0] > w2 - 1))
+        | ((c_min[1] > h2 - 1) & (c_max[1] > h2 - 1))
+    )
+    return ~(non_intersect | out_range)
+
+
+def random_choice(array: np.ndarray, size: int, seed: int = 1234) -> np.ndarray:
+    """Fixed-seed subsample (data_utils.py:118-125)."""
+    rand = np.random.RandomState(seed)
+    n = len(array)
+    idx = rand.choice(n, size, replace=n <= size)
+    return array[idx]
+
+
+def sift_keypoints(im_rgb: np.ndarray, nfeatures: int = 0) -> np.ndarray:
+    """OpenCV SIFT detector on an RGB uint8 image -> [N, 2] (x, y)."""
+    import cv2
+
+    gray = cv2.cvtColor(im_rgb, cv2.COLOR_RGB2GRAY)
+    sift = cv2.SIFT_create(nfeatures=nfeatures) if nfeatures else cv2.SIFT_create()
+    kpts = sift.detect(gray)
+    if not kpts:
+        return np.zeros((0, 2), np.float32)
+    return np.array([[kp.pt[0], kp.pt[1]] for kp in kpts], np.float32)
+
+
+def color_jitter(im: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """ColorJitter(brightness=1, contrast=1, saturation=1, hue=0.4)
+    equivalent of the MegaDepth train transform (megadepth.py:259-265):
+    random order, factors ~ U[0,2] (brightness/contrast/saturation) and
+    hue shift ~ U[-0.4, 0.4] turns.
+    """
+    import cv2
+
+    im = im.astype(np.float32) / 255.0
+    ops = rng.permutation(4)
+    for op in ops:
+        if op == 0:  # brightness
+            im = np.clip(im * rng.uniform(0, 2), 0, 1)
+        elif op == 1:  # contrast
+            mean = cv2.cvtColor(im, cv2.COLOR_RGB2GRAY).mean()
+            im = np.clip(mean + rng.uniform(0, 2) * (im - mean), 0, 1)
+        elif op == 2:  # saturation
+            gray = cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)[..., None]
+            im = np.clip(gray + rng.uniform(0, 2) * (im - gray), 0, 1)
+        else:  # hue
+            hsv = cv2.cvtColor(im, cv2.COLOR_RGB2HSV)
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-0.4, 0.4) * 360.0) % 360.0
+            im = np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0, 1)
+    return (im * 255).astype(np.uint8)

@@ -1,0 +1,264 @@
+"""Feature extraction manager (reference managers/extractor.py:40-382).
+
+TPU design: the whole per-image device program — backbone + head forward,
+NMS, top-k keypoint selection, 3×3 coordinate refinement, descriptor
+grid-sampling — is a single jitted function, compiled once per unique
+image shape (shapes are %16-cropped, so real datasets hit a few dozen
+buckets; a compile cache keyed on (H, W) makes the steady state one
+device call per image). The dynamic keypoint count of the reference
+(putils:249-261) is recovered on host by trimming the static top-k slate
+with the device-computed valid_count.
+
+Feature files are bit-compatible with the reference:
+`np.savez(keypoints [n,2]px, scores [n,1], descriptors [n,128])`
+(extractor.py:267-271) plus the optional per-sequence .h5 quadruple and
+hloc-style feat.h5 (extractor.py:273-314).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import dump_config, load_config, merge_from_checkpoint
+from ..core.logging_utils import make_logger
+from ..data import DATASETS
+from ..models import MODELS
+from ..ops.coords import denormalize_coords, normalize_coords
+from ..ops.detect import DETECTORS
+from ..ops.grid_sample import sample_feat_by_coord
+
+
+class Extractor:
+    def __init__(self, config, ckpt_root: str = "./ckpts"):
+        if isinstance(config, str):
+            config = load_config(config)
+        self.config = merge_from_checkpoint(config)
+
+        self.save_root = os.path.join(ckpt_root, self.config["output_root"])
+        self.desc_root = os.path.join(self.save_root, "desc")
+        self.img_root = os.path.join(self.save_root, "image")
+        self.sift_kp = self.config["use_sift"]
+        self.save_npz = self.config.get("save_npz", True)
+        self.save_h5 = self.config.get("save_h5", False)
+
+        os.makedirs(self.desc_root, exist_ok=True)
+        os.makedirs(self.img_root, exist_ok=True)
+        dump_config(self.config, os.path.join(self.save_root, "config.yaml"))
+        self.logger = make_logger(
+            "extractor", os.path.join(self.save_root, "logging_file.txt")
+        )
+
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.config.get("compute_dtype", "float32")
+        ]
+        model_name = self.config.get("model", "PoSFeat")
+        self.model = MODELS[model_name](self.config["model_config"], dtype=dtype)
+        self.variables = self.model.init(jax.random.PRNGKey(0))
+        load_path = self.config.get("load_path")
+        if load_path and os.path.isdir(load_path):
+            self.variables = self.model.load_checkpoint(self.variables, load_path)
+        else:
+            self.logger.warning(
+                f"load_path {load_path!r} missing — using random init"
+            )
+
+        if not self.sift_kp:
+            self.detector_name = self.config["detector"]
+            self.logger.info(f"use {self.detector_name} to detect keypoints")
+        else:
+            self.logger.info("use sift keypoints")
+
+        dataset_cls = DATASETS[self.config["data"]]
+        self.dataset = dataset_cls(configs=self.config["data_config_extract"])
+
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------ device progs
+
+    def _detector_fn(self, det_cfg: Dict):
+        det = DETECTORS[self.detector_name]
+        cfg = dict(det_cfg)
+        cfg.pop("scale", None)
+        return partial(det, **cfg)
+
+    def _learned_fn(self, shape, det_cfg_key: str):
+        """Jitted: image -> (coords px, scores, descriptors, valid_count)."""
+        key = ("learned", shape, det_cfg_key)
+        if key not in self._jit_cache:
+            H, W = shape
+            det_cfg = self.config[det_cfg_key]
+            detector = self._detector_fn(det_cfg)
+            cos = self.config["loss_distance"] == "cos"
+
+            def run(variables, im):
+                outputs = self.model.extract(variables, im, train=False)
+                coord_n, score, valid = detector(outputs["local_point"])
+                feat = sample_feat_by_coord(outputs["local_map"], coord_n, cos)
+                coords = denormalize_coords(coord_n, H, W)
+                return coords, score, feat, valid
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _sift_fn(self, shape, n_pad: int):
+        """Jitted: sample descriptors at provided (padded) SIFT keypoints."""
+        key = ("sift", shape, n_pad)
+        if key not in self._jit_cache:
+            H, W = shape
+            cos = self.config["loss_distance"] == "cos"
+
+            def run(variables, im, coords):
+                outputs = self.model.extract(variables, im, train=False)
+                coord_n = normalize_coords(coords, H, W)
+                feat = sample_feat_by_coord(outputs["local_map"], coord_n, cos)
+                return feat
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    # --------------------------------------------------------- pipeline
+
+    def process(self, inputs: Dict) -> Dict:
+        """One image -> {'kpt': [n,2] px, 'desc': [n,c], 'kp_score': [n,1]}
+        (reference extractor.py:318-355)."""
+        im = jnp.asarray(inputs["im1"])[None]  # [1, H, W, 3]
+        H, W = im.shape[1:3]
+
+        if self.sift_kp:
+            coords_np = np.asarray(inputs["coord1"], np.float32)
+            n = len(coords_np)
+            n_pad = max(128, int(np.ceil(n / 512.0)) * 512)
+            pad = np.zeros((n_pad, 2), np.float32)
+            pad[:n] = coords_np
+            feat = self._sift_fn((H, W), n_pad)(
+                self.variables, im, jnp.asarray(pad)[None]
+            )
+            kpt = coords_np
+            desc = np.asarray(feat)[0, :n]
+            kp_score = np.ones((n, 1), np.float32)
+            return {"kpt": kpt, "desc": desc, "kp_score": kp_score}
+
+        det_cfg_key = "detector_config"
+        if self.config["data"] == "Aachen_Day_Night":
+            name = inputs["name1"]
+            if name.split("/")[0] == "query" and "detector_config_query" in self.config:
+                det_cfg_key = "detector_config_query"
+
+        coords, score, feat, valid = self._learned_fn((H, W), det_cfg_key)(
+            self.variables, im
+        )
+        # reference dynamic count: max(min(num_pts, valid), 128) (putils:249-261)
+        num_pts = self.config[det_cfg_key]["num_pts"]
+        n_emit = int(max(min(num_pts, int(valid[0])), 128))
+        return {
+            "kpt": np.asarray(coords)[0, :n_emit],
+            "desc": np.asarray(feat)[0, :n_emit],
+            "kp_score": np.asarray(score)[0, :n_emit],
+        }
+
+    # ----------------------------------------------------------- writers
+
+    def save_desc(self, inputs: Dict, processed: Dict) -> str:
+        import h5py
+
+        kpt, desc, scores = (
+            processed["kpt"],
+            processed["desc"],
+            processed["kp_score"],
+        )
+        name = inputs["name1"]
+        save_path = os.path.join(self.desc_root, name)
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        message = f"\nkpts: {kpt.shape[0]}"
+
+        if self.save_npz:
+            with open(save_path + ".{}".format(self.config["postfix"]), "wb") as f:
+                np.savez(f, keypoints=kpt, scores=scores, descriptors=desc)
+
+        if self.save_h5:
+            h5_root = self.desc_root + "h5"
+            h5_name = name.split(".")[0]
+            h5_seq = "/".join(h5_name.split("/")[:-1])
+            h5_base = h5_name.split("/")[-1]
+            seq_dir = os.path.join(h5_root, h5_seq)
+            os.makedirs(seq_dir, exist_ok=True)
+            scales = np.ones_like(scores)
+            with h5py.File(os.path.join(seq_dir, "keypoints.h5"), "a") as fkp, h5py.File(
+                os.path.join(seq_dir, "descriptors.h5"), "a"
+            ) as fdesc, h5py.File(
+                os.path.join(seq_dir, "scores.h5"), "a"
+            ) as fsco, h5py.File(
+                os.path.join(seq_dir, "scales.h5"), "a"
+            ) as fsca:
+                fkp[h5_base] = kpt
+                fdesc[h5_base] = desc
+                fsco[h5_base] = scores
+                fsca[h5_base] = scales
+            h, w = inputs["im1"].shape[:2]
+            with h5py.File(os.path.join(h5_root, "feat.h5"), "a") as fh5:
+                grp = fh5.create_group(name)
+                grp.create_dataset("keypoints", data=kpt)
+                grp.create_dataset("scores", data=scores)
+                grp.create_dataset("descriptors", data=desc)
+                grp.create_dataset("image_size", data=np.array([w, h]))
+        return message
+
+    def save_imgs(self, inputs: Dict, processed: Dict) -> str:
+        """Score-map + keypoint overlay dumps (reference extractor.py:211-252,
+        with its undefined-variable bugs fixed)."""
+        import cv2
+
+        name = inputs["name1"]
+        save_path = os.path.join(self.img_root, os.path.dirname(name))
+        base = os.path.basename(name).split(".")[0]
+        os.makedirs(save_path, exist_ok=True)
+
+        score = np.asarray(processed.get("score_map")) if "score_map" in processed else None
+        if score is not None:
+            thr = np.percentile(score, 100 * self.config.get("local_thr", 0.99))
+            vis = np.clip(score / max(thr, 1e-8), 0, 1)
+            vis = (vis * 255).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(save_path, f"{base}_score_map.jpg"),
+                cv2.applyColorMap(vis, cv2.COLORMAP_JET),
+            )
+
+        im = inputs["im1_ori"].copy()
+        for kp in processed["kpt"]:
+            cv2.circle(im, (int(kp[0]), int(kp[1])), 2, (0, 255, 0), -1)
+        cv2.imwrite(
+            os.path.join(save_path, f"{base}_image_with_kp.jpg"),
+            cv2.cvtColor(im, cv2.COLOR_RGB2BGR),
+        )
+        return f"\nsaved kp image for {name}"
+
+    # ------------------------------------------------------------- main
+
+    def extract(self):
+        name_list = ""
+        t0 = time.time()
+        n_images = 0
+        for idx, inputs in enumerate(self.dataset):
+            message = inputs["name1"]
+            processed = self.process(inputs)
+            if self.config["output_desc"]:
+                message += self.save_desc(inputs, processed)
+            if self.config.get("output_img"):
+                message += self.save_imgs(inputs, processed)
+            self.logger.info(message)
+            name_list += "{} {}\n".format(idx, inputs["name1"])
+            n_images += 1
+        with open(os.path.join(self.img_root, "name_list.txt"), "w") as f:
+            f.write(name_list)
+        dt = time.time() - t0
+        self.logger.info(
+            f"extracted {n_images} images in {dt:.1f}s ({n_images / max(dt, 1e-9):.2f} im/s)"
+        )
+        return n_images, dt

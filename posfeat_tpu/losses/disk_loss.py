@@ -1,0 +1,179 @@
+"""Stage-2 DISK-style REINFORCE detector loss (reference losses/kploss.py).
+
+Per-cell Categorical pixel proposals + Bernoulli accepts on both score
+maps, a dual-Categorical match distribution over the m×n descriptor cost,
+and a bidirectional epipolar reward. All boolean-mask reductions are
+mask-multiplied sums (static shapes); sampling uses explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.coords import normalize_coords
+from ..ops.epipolar import epipolar_pairwise_dist
+from ..ops.grid_sample import sample_feat_by_coord
+from ..ops.samplers import (
+    cell_coords_pixel,
+    grid_bernoulli_accept,
+    grid_categorical_sample,
+)
+
+
+def _bmm(a, b):
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+class DiskLoss:
+    __lossname__ = "DiskLoss"
+
+    def __init__(self, configs: Dict[str, Any]):
+        self.config = configs
+        self.unfold_size = configs["grid_size"]
+        self.t_base = configs["temperature_base"]
+        self.t_max = configs["temperature_max"]
+        self.reward_name = configs["epipolar_reward"]
+        assert self.reward_name in ("constant_reward", "dynamic_reward")
+        self.good_reward = configs["good_reward"]
+        self.bad_reward = configs["bad_reward"]
+        self.kp_penalty = configs["kp_penalty"]
+
+    def name(self):
+        return self.__lossname__
+
+    # ------------------------------------------------------------ sample
+
+    def point_sample(self, kp_map: jnp.ndarray, key: jax.Array):
+        """kp_map [B, H, W, 1] -> (coords px [B, hg, wg, 2], logp, accept)
+        (kploss.py:20-48)."""
+        k_cat, k_bern = jax.random.split(key)
+        proposals, proposal_logp, cells = grid_categorical_sample(
+            kp_map, self.unfold_size, k_cat
+        )
+        accept_mask, accept_logp = grid_bernoulli_accept(cells, proposals, k_bern)
+        logp = proposal_logp + accept_logp
+        B, H, W, _ = kp_map.shape
+        kps = cell_coords_pixel(H, W, self.unfold_size, proposals)
+        return kps, logp, accept_mask
+
+    # ------------------------------------------------------------ reward
+
+    def _epipolar_dists(self, inputs, coord1, coord2):
+        d1 = epipolar_pairwise_dist(coord1, coord2, inputs["F1"])  # [B, m, n]
+        d2t = epipolar_pairwise_dist(coord2, coord1, inputs["F2"])  # [B, n, m]
+        return d1, d2t.transpose(0, 2, 1)
+
+    def _thresholds(self, d1, d2, reward_thr, rescale_thr):
+        if not rescale_thr:
+            one = jnp.ones((), d1.dtype)
+            return reward_thr, reward_thr, one, one
+        b = d1.shape[0]
+        m1 = jax.lax.stop_gradient(d1).reshape(b, -1).mean(1, keepdims=True)
+        m2 = jax.lax.stop_gradient(d2).reshape(b, -1).mean(1, keepdims=True)
+        dmin = jnp.clip(jnp.minimum(m1, m2), 1e-6, None)
+        scale1 = m1 / dmin
+        scale2 = m2 / dmin
+        thr1 = (reward_thr * scale1).reshape(b, 1, 1)
+        thr2 = (reward_thr * scale2).reshape(b, 1, 1)
+        return thr1, thr2, scale1, scale2
+
+    def constant_reward(self, inputs, coord1, coord2, reward_thr, rescale_thr):
+        d1, d2 = self._epipolar_dists(inputs, coord1, coord2)
+        thr1, thr2, scale1, scale2 = self._thresholds(d1, d2, reward_thr, rescale_thr)
+        good = (d1 < thr1) & (d2 < thr2)
+        reward = self.good_reward * good + self.bad_reward * (~good)
+        return jax.lax.stop_gradient(reward), scale1, scale2
+
+    def dynamic_reward(self, inputs, coord1, coord2, reward_thr, rescale_thr):
+        d1, d2 = self._epipolar_dists(inputs, coord1, coord2)
+        thr1, thr2, scale1, scale2 = self._thresholds(d1, d2, reward_thr, rescale_thr)
+        reward = (
+            jnp.exp(-d1 / thr1) + jnp.exp(-d2 / thr2) - 2 / jnp.exp(1.0)
+        )
+        reward = jnp.clip(reward, self.bad_reward, None)
+        return jax.lax.stop_gradient(reward), scale1, scale2
+
+    # -------------------------------------------------------------- loss
+
+    def __call__(self, inputs, outputs, processed, key: jax.Array):
+        preds1, preds2 = outputs["preds1"], outputs["preds2"]
+        kp_map1 = preds1["local_point"]
+        kp_map2 = preds2["local_point"]
+        xf1, xf2 = preds1["local_map"], preds2["local_map"]
+        b = xf1.shape[0]
+        H, W = kp_map1.shape[1:3]
+        temperature = min(self.t_base + outputs["epoch"], self.t_max)
+        cos = self.config["loss_distance"] == "cos"
+
+        k1, k2 = jax.random.split(key)
+        coord1, logp1, accept1 = self.point_sample(kp_map1, k1)
+        coord2, logp2, accept2 = self.point_sample(kp_map2, k2)
+        coord1 = coord1.reshape(b, -1, 2)
+        coord2 = coord2.reshape(b, -1, 2)
+
+        coord1_n = normalize_coords(coord1, H, W)
+        coord2_n = normalize_coords(coord2, H, W)
+        feat1 = sample_feat_by_coord(xf1, coord1_n, cos)  # [B, m, c]
+        feat2 = sample_feat_by_coord(xf2, coord2_n, cos)  # [B, n, c]
+
+        costs = 1 - _bmm(feat1, feat2)  # [B, m, n] in [0, 2]
+        if not self.config["match_grad"]:
+            costs = jax.lax.stop_gradient(costs)
+        affinity = -temperature * costs
+
+        # dual Categorical match distribution (kploss.py:162-166);
+        # torch Categorical .logits == log_softmax, .probs == softmax
+        logp_I = jax.nn.log_softmax(affinity, axis=-1)
+        logp_T = jax.nn.log_softmax(affinity.transpose(0, 2, 1), axis=-1)
+        dense_p = jnp.exp(logp_I) * jnp.exp(logp_T).transpose(0, 2, 1)
+        dense_logp = logp_I + logp_T.transpose(0, 2, 1)
+
+        sample_p = (
+            jax.lax.stop_gradient(dense_p) if self.config["cor_detach"] else dense_p
+        )
+
+        reward_fn = getattr(self, self.reward_name)
+        reward, scale1, scale2 = reward_fn(
+            inputs, coord1, coord2, **self.config["reward_config"]
+        )
+
+        logp1f = logp1.reshape(b, -1)
+        logp2f = logp2.reshape(b, -1)
+        kps_logp = logp1f[:, :, None] + logp2f[:, None, :]  # [B, m, n]
+        sample_plogp = sample_p * (dense_logp + kps_logp)
+        a1 = accept1.reshape(b, -1)
+        a2 = accept2.reshape(b, -1)
+        accept_mask = (a1[:, :, None] & a2[:, None, :]).astype(sample_plogp.dtype)
+
+        reinforce = jnp.sum(accept_mask * reward * sample_plogp)
+        kp_penalty = self.kp_penalty * (
+            jnp.sum(a1 * logp1f) + jnp.sum(a2 * logp2f)
+        )
+
+        loss = -reinforce - kp_penalty
+
+        sp = jax.lax.stop_gradient(sample_p)
+        components = {
+            "reinforce": jax.lax.stop_gradient(reinforce),
+            "kp_penalty": jax.lax.stop_gradient(kp_penalty),
+            "scale1": jnp.mean(scale1),
+            "scale2": jnp.mean(scale2),
+            "cor minmax": sp.reshape(b, -1).max(-1).min(),
+            "cor minmean": sp.reshape(b, -1).mean(-1).min(),
+            "cor max": sp.max(),
+            "cor mean": sp.mean(),
+            "cor summin": jnp.minimum(sp.sum(1).min(), sp.sum(2).min()),
+            "cor summax": jnp.maximum(sp.sum(1).max(), sp.sum(2).max()),
+            "n_kps": (a1.sum(-1) + a2.sum(-1)).astype(jnp.float32).mean(),
+            "n_pairs": sp.sum((-1, -2)).mean(),
+            "temperature": jnp.asarray(temperature, jnp.float32),
+        }
+        return loss, components

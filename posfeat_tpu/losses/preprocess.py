@@ -1,0 +1,189 @@
+"""Stage-1 differentiable correspondence search ("Line2Window" engine).
+
+Reference losses/preprocess.py:7-129. Per batch, between model forward and
+loss: sample grid query points, run the dense m×n cosine correlation for
+expected grid correspondences (+std), refine with an epipolar line search
+and a windowed soft-argmax around the line hit.
+
+All randomness flows through an explicit PRNG key; temperature is a static
+Python number (the shipped recipe pins it at 60, preprocess.py:33).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.coords import denormalize_coords, normalize_coords
+from ..ops.epipolar import (
+    epipolar_line_search,
+    get_expected_correspondence_within_window,
+)
+from ..ops.grid_sample import l2_normalize, sample_feat_by_coord
+from ..ops.priors import PRIORS
+from ..ops.resize import interpolate_bilinear
+from ..ops.samplers import generate_kpts_regular_grid_random
+
+
+def _bmm(a, b):
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+class Preprocess_Line2Window:
+    __lossname__ = "Preprocess_Line2Window"
+
+    def __init__(self, configs: Dict[str, Any]):
+        self.config = configs
+        self.t_base = configs["temperature_base"]
+        self.t_max = configs["temperature_max"]
+        assert configs["kps_generator"] == "generate_kpts_regular_grid_random", (
+            "stage-1 sampler (the only one wired in the reference configs)"
+        )
+
+    def name(self):
+        return self.__lossname__
+
+    def _kp_maps(self, inputs, outputs):
+        """kps_generator map_init (putils:598-610)."""
+        gcfg = self.config["kps_generator_config"]
+        map_init = gcfg.get("map_init", "identity")
+        lp1 = outputs["preds1"]["local_point"]
+        lp2 = outputs["preds2"]["local_point"]
+        if map_init == "identity":
+            return jnp.ones_like(lp1), jnp.ones_like(lp2)
+        prior = PRIORS[map_init]
+        lm1 = interpolate_bilinear(
+            outputs["preds1"]["local_map"], inputs["im1"].shape[1:3]
+        )
+        lm2 = interpolate_bilinear(
+            outputs["preds2"]["local_map"], inputs["im2"].shape[1:3]
+        )
+        cm = map_init == "SSIM"
+        k1 = prior(lm1, channel_mean=True) if cm else prior(lm1)
+        k2 = prior(lm2, channel_mean=True) if cm else prior(lm2)
+        return jax.lax.stop_gradient(k1), jax.lax.stop_gradient(k2)
+
+    def __call__(self, inputs, outputs, key: jax.Array):
+        preds1, preds2 = outputs["preds1"], outputs["preds2"]
+        xf1 = preds1["local_map"]
+        xf2 = preds2["local_map"]
+        h1i, w1i = inputs["im1"].shape[1:3]
+        h2i, w2i = inputs["im2"].shape[1:3]
+        b = xf1.shape[0]
+        temperature = min(self.t_base + outputs["epoch"], self.t_max)
+        cos = self.config["loss_distance"] == "cos"
+        ws = self.config["window_size"]
+
+        gcfg = self.config["kps_generator_config"]
+        k_kps, k_ls1, k_ls2 = jax.random.split(key, 3)
+        kp_map1, kp_map2 = self._kp_maps(inputs, outputs)
+        coord1_n, coord2_n, score1, score2 = generate_kpts_regular_grid_random(
+            kp_map1, kp_map2, k_kps,
+            grid_size=gcfg["grid_size"],
+            random_select=gcfg.get("random_select", "random"),
+            keep_spatial=True,
+        )
+        coord1_n = coord1_n.reshape(b, -1, 2)
+        coord2_n = coord2_n.reshape(b, -1, 2)
+        coord1 = denormalize_coords(coord1_n, h1i, w1i)
+        coord2 = denormalize_coords(coord2_n, h2i, w2i)
+
+        feat1_fine = sample_feat_by_coord(xf1, coord1_n, cos)
+        feat2_fine = sample_feat_by_coord(xf2, coord2_n, cos)
+
+        # dense grid correlation -> expected locations (preprocess.py:59-81)
+        cos_sim = _bmm(feat1_fine, feat2_fine)  # [B, m, n]
+        p12 = jax.nn.softmax(temperature * cos_sim, axis=2)
+        p21 = jax.nn.softmax(temperature * cos_sim, axis=1)
+        feat1g_corloc = jnp.sum(p12[..., None] * coord2[:, None, :, :], axis=2)
+        feat2g_corloc = jnp.sum(p21[..., None] * coord1[:, :, None, :], axis=1)
+
+        feat1g_corloc_n = jax.lax.stop_gradient(
+            normalize_coords(feat1g_corloc, h2i, w2i)
+        )
+        feat2g_corloc_n = jax.lax.stop_gradient(
+            normalize_coords(feat2g_corloc, h1i, w1i)
+        )
+
+        feat1g_std = jnp.sum(
+            p12[..., None] * (coord2_n[:, None, :, :] ** 2), axis=2
+        ) - feat1g_corloc_n**2
+        feat1g_std = jnp.sqrt(jnp.clip(feat1g_std, 1e-6, None)).sum(-1)
+        feat2g_std = jnp.sum(
+            p21[..., None] * (coord1_n[:, :, None, :] ** 2), axis=1
+        ) - feat2g_corloc_n**2
+        feat2g_std = jnp.sqrt(jnp.clip(feat2g_std, 1e-6, None)).sum(-1)
+
+        # temperature-scaled normalized maps for the search ops
+        xf2_n = temperature * l2_normalize(xf2, axis=-1)
+        xf1_n = temperature * l2_normalize(xf1, axis=-1)
+
+        if self.config["use_line_search"]:
+            lcfg = self.config["line_search_config"]
+            c1n_, c1n_org, valid1, _std1 = epipolar_line_search(
+                coord1, inputs["F1"], feat1_fine, xf2_n, h2i, w2i,
+                key=k_ls1, window_size=ws, **lcfg,
+            )
+            c2n_, c2n_org, valid2, _std2 = epipolar_line_search(
+                coord2, inputs["F2"], feat2_fine, xf1_n, h1i, w1i,
+                key=k_ls2, window_size=ws, **lcfg,
+            )
+            feat1c_corloc_org = denormalize_coords(c1n_org, h2i, w2i)
+        else:
+            c1n_ = feat1g_corloc_n
+            c2n_ = feat2g_corloc_n
+            c2n_org = c2n_
+            feat1c_corloc_org = c1n_
+            valid1 = jnp.ones_like(feat1g_std, dtype=bool)
+            valid2 = jnp.ones_like(feat2g_std, dtype=bool)
+
+        feat1w_corloc_n, _, feat1w_std, _ = get_expected_correspondence_within_window(
+            feat1_fine, xf2_n, c1n_, ws, with_std=True
+        )
+        feat2w_corloc_n, _, feat2w_std, _ = get_expected_correspondence_within_window(
+            feat2_fine, xf1_n, c2n_, ws, with_std=True
+        )
+
+        feat1w_corloc = denormalize_coords(feat1w_corloc_n, h2i, w2i)
+        feat2w_corloc = denormalize_coords(feat2w_corloc_n, h1i, w1i)
+
+        return {
+            "coord1": coord1,
+            "coord2": coord2,
+            "feat1g_corloc": feat1g_corloc,
+            "feat2g_corloc": feat2g_corloc,
+            "feat1w_corloc": feat1w_corloc,
+            "feat2w_corloc": feat2w_corloc,
+            "feat1c_corloc_org": feat1c_corloc_org,
+            # kept normalized for image-2, mirroring preprocess.py:113
+            "feat2c_corloc_org": c2n_org,
+            "feat1g_std": feat1g_std,
+            "feat2g_std": feat2g_std,
+            "feat1w_std": feat1w_std,
+            "feat2w_std": feat2w_std,
+            "temperature": temperature,
+            "valid_epi1": valid1,
+            "valid_epi2": valid2,
+        }
+
+
+class Preprocess_Skip:
+    """No-op preprocess for stage-2 (reference preprocess.py:120-129)."""
+
+    __lossname__ = "Preprocess_Skip"
+
+    def __init__(self, **kwargs):
+        pass
+
+    def name(self):
+        return self.__lossname__
+
+    def __call__(self, inputs, outputs, key=None):
+        return None

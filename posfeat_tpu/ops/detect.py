@@ -87,13 +87,20 @@ def generate_kpts_single(
 
     masked = (nms_mask * interior).reshape(B, -1)
     if stable:
-        scores_sel, idx = jax.lax.top_k(masked, num_pts)
+        # clamp k to the number of positions (tiny images), pad the slate
+        # back to the static num_pts with zero-score entries
+        k = min(num_pts, masked.shape[1])
+        scores_sel, idx = jax.lax.top_k(masked, k)
         kps = jnp.take_along_axis(
             grids.reshape(B, -1, 2), idx[..., None], axis=1
         )
         kp_score = jnp.take_along_axis(
             kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
         )
+        if k < num_pts:
+            pad = num_pts - k
+            kps = jnp.pad(kps, ((0, 0), (0, pad), (0, 0)))
+            kp_score = jnp.pad(kp_score, ((0, 0), (0, pad), (0, 0)))
     else:
         assert key is not None, "gumbel sampling requires a PRNG key"
         select = gumbel_topk_select(
@@ -145,11 +152,16 @@ def generate_kpts_single_noavg(
     valid_count = count_src.reshape(B, -1).sum(axis=1).astype(jnp.int32)
 
     masked = (nms_mask * kp_map).reshape(B, -1)
-    _, idx = jax.lax.top_k(masked, num_pts)
+    k = min(num_pts, masked.shape[1])
+    _, idx = jax.lax.top_k(masked, k)
     kps = jnp.take_along_axis(grids.reshape(B, -1, 2), idx[..., None], axis=1)
     kp_score = jnp.take_along_axis(
         kp_map.reshape(B, -1, 1), idx[..., None], axis=1
     )
+    if k < num_pts:
+        pad = num_pts - k
+        kps = jnp.pad(kps, ((0, 0), (0, pad), (0, 0)))
+        kp_score = jnp.pad(kp_score, ((0, 0), (0, pad), (0, 0)))
     return kps, kp_score, valid_count
 
 
@@ -206,9 +218,14 @@ def generate_kpts_regular_grid_single(
     valid_count = mask[..., 0].sum(axis=1).astype(jnp.int32)
 
     if num_pts:
-        top_score, top_idx = jax.lax.top_k((mask * score)[..., 0], num_pts)
+        k = min(num_pts, kps.shape[1])
+        top_score, top_idx = jax.lax.top_k((mask * score)[..., 0], k)
         kps = jnp.take_along_axis(kps, top_idx[..., None], axis=1)
         score = top_score[..., None]
+        if k < num_pts:
+            pad = num_pts - k
+            kps = jnp.pad(kps, ((0, 0), (0, pad), (0, 0)))
+            score = jnp.pad(score, ((0, 0), (0, pad), (0, 0)))
     return kps, score, valid_count
 
 

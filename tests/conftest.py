@@ -3,7 +3,9 @@ without TPU hardware. Must run before jax import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the container env pins JAX_PLATFORMS=axon (real TPU via
+# relay); tests must run on a deterministic 8-device virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,119 @@
+"""Parity of the static-slate detectors vs the reference's dynamic top-k
+formulation (torch re-implementation inline)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from posfeat_tpu.ops.detect import (
+    generate_kpts_single,
+    generate_kpts_regular_grid_single,
+)
+from tests.test_ops_parity import torch_nms
+
+
+def torch_generate_kpts_single(kp_map, nms_radius, num_pts, thr=False, thr_mod="mean"):
+    """Reference putils:215-278, stable path, hard NMS."""
+    b, _, h, w = kp_map.shape
+    x, y = torch.meshgrid(
+        [torch.linspace(-1, 1, w), torch.linspace(-1, 1, h)], indexing="ij"
+    )
+    grids_org = (
+        torch.stack((x, y), -1).transpose(0, 1).reshape(h, w, 2)[None]
+        .repeat(b, 1, 1, 1)
+        .permute(0, 3, 1, 2)
+        .float()
+    )
+
+    nms_mask = torch_nms(kp_map[:, :, 1:-1, 1:-1], nms_radius).float()
+    if thr:
+        interior = kp_map[:, :, 1:-1, 1:-1]
+        if thr_mod == "max":
+            kp_thr = interior.reshape(b, 1, -1).max(2)[0]
+        elif thr_mod == "mean":
+            kp_thr = interior.reshape(b, 1, -1).mean(2)
+        elif thr_mod == "abs":
+            kp_thr = torch.tensor(1.0).repeat(b)
+        thr_mask = interior > thr * kp_thr.view(b, 1, 1, 1)
+        nms_mask = thr_mask * nms_mask
+
+    grids = F.avg_pool2d(kp_map * grids_org, 3, stride=1, padding=0)
+    kp_weight = F.avg_pool2d(kp_map, 3, stride=1, padding=0)
+    grids = grids / kp_weight
+    kp_score_map = F.max_pool2d(kp_map, 3, stride=1, padding=0)
+
+    valid = int(nms_mask.view(b, -1).sum(1).min())
+    k = num_pts
+    if k > valid:
+        k = valid
+    if k < 128:
+        k = 128
+
+    _, idx = (
+        (nms_mask * kp_map[:, :, 1:-1, 1:-1])
+        .permute(0, 2, 3, 1)
+        .contiguous()
+        .view(b, -1)
+        .topk(k)
+    )
+    kps = grids.permute(0, 2, 3, 1).reshape(b, -1, 2).gather(
+        1, idx.unsqueeze(-1).repeat(1, 1, 2)
+    )
+    score = kp_score_map.permute(0, 2, 3, 1).reshape(b, -1, 1).gather(
+        1, idx.unsqueeze(-1)
+    )
+    return kps, score, valid
+
+
+@pytest.mark.parametrize("thr", [False, 0.9])
+def test_generate_kpts_single_parity(rng, thr):
+    kp_map_t = torch.from_numpy(
+        (rng.rand(2, 1, 60, 76) + 0.01).astype(np.float32)
+    )
+    num_pts = 200
+    ref_kps, ref_score, ref_valid = torch_generate_kpts_single(
+        kp_map_t, nms_radius=1, num_pts=num_pts, thr=thr, thr_mod="abs"
+    )
+
+    kps, score, valid = generate_kpts_single(
+        jnp.asarray(kp_map_t.permute(0, 2, 3, 1).numpy()),
+        num_pts=num_pts,
+        nms_radius=1,
+        use_nms=True,
+        thr=thr,
+        thr_mod="abs",
+    )
+    n_emit = ref_kps.shape[1]
+    assert int(np.asarray(valid).min()) == ref_valid
+    np.testing.assert_allclose(
+        np.asarray(kps)[:, :n_emit], ref_kps.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(score)[:, :n_emit], ref_score.numpy(), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_generate_kpts_single_counts(rng):
+    """Host-side trim rule reproduces the reference's dynamic k."""
+    kp_map = jnp.asarray((rng.rand(1, 40, 40, 1) + 0.01).astype(np.float32))
+    kps, score, valid = generate_kpts_single(
+        kp_map, num_pts=2048, nms_radius=3, use_nms=True
+    )
+    v = int(np.asarray(valid)[0])
+    n_emit = max(min(2048, v), 128)
+    assert kps.shape == (1, 2048, 2)
+    # everything beyond the valid slots is a masked zero-score entry
+    sel = np.asarray(score)[0, :, 0]
+    assert (sel[:v] > 0).all()
+
+
+def test_regular_grid_single_runs(rng):
+    kp_map = jnp.asarray((rng.rand(1, 64, 64, 1) + 0.01).astype(np.float32))
+    kps, score, valid = generate_kpts_regular_grid_single(
+        kp_map, grid_size=8, num_pts=32, use_nms=True, nms_radius=1
+    )
+    assert kps.shape == (1, 32, 2)
+    assert score.shape == (1, 32, 1)
+    assert (np.abs(np.asarray(kps)) <= 1).all()

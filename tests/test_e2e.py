@@ -1,0 +1,260 @@
+"""End-to-end smoke tests: extraction -> npz -> HPatches eval, and one
+train step of each stage on synthetic geometric data. Small images +
+resnet18 encoder keep CPU compile time bounded."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from posfeat_tpu.data.synthetic import SyntheticPairs, _texture
+
+
+MODEL_CONFIG = {
+    "backbone": "ResUNet",
+    "backbone_config": {
+        "encoder": "resnet18",
+        "pretrained": False,
+        "coarse_out_ch": 64,
+        "fine_out_ch": 64,
+    },
+    "localheader": "KeypointDet",
+    "localheader_config": {
+        "in_channels": 128,  # 64 local_map + 64 local_map_small
+        "prior": "identity",
+        "act": "Softplus",
+    },
+    "align_local_grad": False,
+    "local_input_elements": ["local_map", "local_map_small"],
+    "local_with_img": True,
+}
+
+
+def make_mini_hpatches(root, n_seq=2, n_img=6, h=96, w=128):
+    """Tiny HPatches-layout dataset with known homographies."""
+    import cv2
+
+    rng = np.random.RandomState(7)
+    for si in range(n_seq):
+        seq = os.path.join(root, ("i_fake" if si == 0 else "v_fake") + str(si))
+        os.makedirs(seq, exist_ok=True)
+        base = _texture(rng, h, w)
+        cv2.imwrite(os.path.join(seq, "1.ppm"), cv2.cvtColor(base, cv2.COLOR_RGB2BGR))
+        for ii in range(2, n_img + 1):
+            H = np.eye(3)
+            H[0, 2] = rng.uniform(-4, 4)
+            H[1, 2] = rng.uniform(-4, 4)
+            warped = cv2.warpPerspective(base, H, (w, h), borderMode=cv2.BORDER_REFLECT)
+            cv2.imwrite(
+                os.path.join(seq, f"{ii}.ppm"), cv2.cvtColor(warped, cv2.COLOR_RGB2BGR)
+            )
+            np.savetxt(os.path.join(seq, f"H_1_{ii}"), H)
+
+
+@pytest.mark.slow
+def test_extract_and_eval_smoke(tmp_path):
+    from posfeat_tpu.extract import Extractor
+    from posfeat_tpu.evals import hpatches as hp
+
+    data_root = str(tmp_path / "hp")
+    os.makedirs(data_root)
+    make_mini_hpatches(data_root)
+
+    config = {
+        "output_root": "hpatches/smoke",
+        "postfix": "smoke",
+        "load_path": None,
+        "loss_distance": "cos",
+        "output_desc": True,
+        "output_img": False,
+        "model": "PoSFeat",
+        "model_config": MODEL_CONFIG,
+        "data": "HPatch_SIFT",
+        "data_config_extract": {"data_path": data_root, "batch_size": 1, "workers": 2},
+        "local_thr": 0.99,
+        "use_sift": False,
+        "detector": "generate_kpts_single",
+        "detector_config": {
+            "num_pts": 256,
+            "stable": True,
+            "use_nms": True,
+            "nms_radius": 1,
+            "thr": 0.9,
+            "thr_mod": "abs",
+        },
+    }
+    ex = Extractor(config, ckpt_root=str(tmp_path / "ckpts"))
+    n_images, _ = ex.extract()
+    assert n_images == 12
+
+    # npz format parity: keypoints [n,2] px, scores [n,1], descriptors [n,c]
+    f = np.load(
+        str(tmp_path / "ckpts/hpatches/smoke/desc/i_fake0/1.ppm.smoke")
+    )
+    assert set(f.files) == {"keypoints", "scores", "descriptors"}
+    n = f["keypoints"].shape[0]
+    assert 128 <= n <= 256
+    assert f["descriptors"].shape == (n, 64)
+    assert f["scores"].shape == (n, 1)
+    # L2-normalized descriptors
+    np.testing.assert_allclose(
+        np.linalg.norm(f["descriptors"], axis=1), 1.0, atol=1e-4
+    )
+    # keypoints inside the image
+    assert (f["keypoints"][:, 0] < 128).all() and (f["keypoints"][:, 1] < 96).all()
+
+    errors = hp.benchmark_features(
+        hp.generate_read_function(
+            str(tmp_path / "ckpts/hpatches/smoke/desc"), "smoke"
+        ),
+        data_root,
+    )
+    # random weights: we only assert the harness produces well-formed output
+    assert set(errors[0]) == set(int(t) for t in hp.THRESHOLDS)
+    o, i, v = hp.mma_at(errors, 3, n_i=1, n_v=1)
+    assert 0 <= o <= 1
+
+
+@pytest.mark.slow
+def test_sift_passthrough_extraction(tmp_path):
+    from posfeat_tpu.extract import Extractor
+
+    data_root = str(tmp_path / "hp")
+    os.makedirs(data_root)
+    make_mini_hpatches(data_root, n_seq=1, n_img=2)
+
+    config = {
+        "output_root": "hpatches/sift_smoke",
+        "postfix": "smoke",
+        "load_path": None,
+        "loss_distance": "cos",
+        "output_desc": True,
+        "output_img": False,
+        "model": "PoSFeat",
+        "model_config": MODEL_CONFIG,
+        "data": "HPatch_SIFT",
+        "data_config_extract": {"data_path": data_root, "batch_size": 1, "workers": 2},
+        "use_sift": True,
+    }
+    ex = Extractor(config, ckpt_root=str(tmp_path / "ckpts"))
+    ex.extract()
+    f = np.load(str(tmp_path / "ckpts/hpatches/sift_smoke/desc/i_fake0/1.ppm.smoke"))
+    assert f["keypoints"].shape[0] == f["descriptors"].shape[0]
+    assert (f["scores"] == 1).all()
+
+
+def _train_config(tmp_path, stage: str):
+    base = {
+        "checkpoint_name": f"smoke_{stage}",
+        "epoch": 1,
+        "epoch_step": 2,
+        "lr_decay_step": 1,
+        "lr_decay_factor": 0.5,
+        "log_freq": 1,
+        "grad_clip": False,
+        "clip_norm": 10.0,
+        "optimizer": "Adam",
+        "seed": 0,
+        "model": "PoSFeat",
+        "model_config": MODEL_CONFIG,
+        "data": "SyntheticPairs",
+        "data_config_train": {
+            "num_pairs": 8,
+            "height": 96,
+            "width": 128,
+            "num_pts": 64,
+            "batch_size": 2,
+            "workers": 2,
+        },
+        "val_config": None,
+    }
+    if stage == "desc":
+        base.update(
+            {
+                "optimal_modules": ["backbone"],
+                "optimal_lrs": [1e-4],
+                "preprocess_train": "Preprocess_Line2Window",
+                "preprocess_train_config": {
+                    "kps_generator": "generate_kpts_regular_grid_random",
+                    "kps_generator_config": {
+                        "grid_size": 16,
+                        "map_init": "identity",
+                        "keep_spatial": True,
+                        "random_select": "random",
+                    },
+                    "window_size": 0.1,
+                    "loss_distance": "cos",
+                    "use_nn_grid": False,
+                    "use_line_search": True,
+                    "line_search_config": {
+                        "line_step": 20,
+                        "use_nn": True,
+                        "loc_rand": True,
+                    },
+                    "temperature_base": 60,
+                    "temperature_max": 60,
+                },
+                "losses": ["EpipolarLoss_full"],
+                "losses_weight": [1],
+                "tb_component": ["loss_w1", "loss_w2"],
+                "EpipolarLoss_full_config": {
+                    "grid_cost_thr": 0.5,
+                    "win_cost_thr": 0.1,
+                    "use_std_as_weight": True,
+                    "weight_grid": 0,
+                    "weight_window": 1,
+                },
+            }
+        )
+    else:
+        base.update(
+            {
+                "optimal_modules": ["localheader"],
+                "optimal_lrs": [1e-3],
+                "optimizer": "SGD",
+                "losses": ["DiskLoss"],
+                "losses_weight": [1],
+                "tb_component": ["reinforce", "kp_penalty"],
+                "DiskLoss_config": {
+                    "grid_size": 8,
+                    "loss_distance": "cos",
+                    "temperature_base": 60,
+                    "temperature_max": 60,
+                    "epipolar_reward": "constant_reward",
+                    "reward_config": {"reward_thr": 2, "rescale_thr": False},
+                    "cor_detach": True,
+                    "good_reward": 1,
+                    "bad_reward": -0.25,
+                    "kp_penalty": -0.001,
+                    "match_grad": False,
+                },
+            }
+        )
+    return base
+
+
+@pytest.mark.slow
+def test_train_stage1_smoke(tmp_path):
+    from posfeat_tpu.train import Trainer
+
+    t = Trainer(_train_config(tmp_path, "desc"), ckpt_root=str(tmp_path / "ckpts"))
+    t.train()
+    # epoch checkpoints exist with per-module payloads
+    assert os.path.exists(str(tmp_path / "ckpts/smoke_desc/001/backbone.msgpack"))
+    assert os.path.exists(str(tmp_path / "ckpts/smoke_desc/001/localheader.msgpack"))
+    # metrics logged with finite loss
+    import json
+
+    with open(str(tmp_path / "ckpts/smoke_desc/metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert recs and np.isfinite(recs[-1]["total_loss"])
+
+
+@pytest.mark.slow
+def test_train_stage2_smoke(tmp_path):
+    from posfeat_tpu.train import Trainer
+
+    t = Trainer(_train_config(tmp_path, "kp"), ckpt_root=str(tmp_path / "ckpts"))
+    t.train()
+    assert os.path.exists(str(tmp_path / "ckpts/smoke_kp/001/localheader.msgpack"))
