@@ -1,0 +1,112 @@
+"""Host-side COLMAP pipeline units: db import, pair ids, pose conversion,
+matcher behavior — no COLMAP binary required."""
+
+import os
+import sqlite3
+
+import numpy as np
+
+from posfeat_tpu.evals import colmap_db as cdb
+from posfeat_tpu.ops.matchers import (
+    mutual_nn_matcher,
+    mutual_nn_ratio_matcher,
+    ratio_matcher,
+)
+
+
+def _make_db(path):
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    cur.execute(
+        "CREATE TABLE images (image_id INTEGER PRIMARY KEY, name TEXT, camera_id INTEGER);"
+    )
+    cur.execute(
+        "CREATE TABLE keypoints (image_id INTEGER, rows INTEGER, cols INTEGER, data BLOB);"
+    )
+    cur.execute(
+        "CREATE TABLE matches (pair_id INTEGER, rows INTEGER, cols INTEGER, data BLOB);"
+    )
+    cur.execute("INSERT INTO images VALUES (1, 'a.jpg', 10);")
+    cur.execute("INSERT INTO images VALUES (2, 'b.jpg', 11);")
+    conn.commit()
+    return conn
+
+
+def test_pair_id_ordering():
+    assert cdb.image_ids_to_pair_id(1, 2) == cdb.image_ids_to_pair_id(1, 2)
+    assert cdb.image_ids_to_pair_id(2, 1) == cdb.image_ids_to_pair_id(1, 2)
+    assert cdb.image_ids_to_pair_id(3, 7) == 2147483647 * 3 + 7
+
+
+def test_quaternion_and_center_conversion():
+    q = np.array([0.9, 0.1, -0.2, 0.3])
+    R = cdb.quaternion_to_rotation_matrix(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    assert np.linalg.det(R) > 0.99
+    c = np.array([1.0, -2.0, 3.0])
+    t = cdb.camera_center_to_translation(c, q)
+    np.testing.assert_allclose(t, -R @ c, atol=1e-12)
+
+
+def test_db_image_recovery_and_keypoint_import(tmp_path, rng):
+    db = str(tmp_path / "test.db")
+    conn = _make_db(db)
+    conn.close()
+
+    images, cameras = cdb.recover_database_images_and_ids(db)
+    assert images == {"a.jpg": 1, "b.jpg": 2}
+    assert cameras == {"a.jpg": 10, "b.jpg": 11}
+
+    for name in images:
+        kpts = rng.rand(50, 2).astype(np.float32) * 100
+        desc = rng.rand(50, 16).astype(np.float32)
+        # write via file handle so np.savez doesn't append .npz (same as
+        # the extractor's writer)
+        with open(str(tmp_path / f"{name}.m"), "wb") as f:
+            np.savez(f, keypoints=kpts, descriptors=desc)
+
+    cdb.import_keypoints(
+        db, images, lambda n: str(tmp_path / f"{n}.m"), with_scale_ori=True
+    )
+    conn = sqlite3.connect(db)
+    cur = conn.cursor()
+    cur.execute("SELECT image_id, rows, cols, data FROM keypoints;")
+    rows = cur.fetchall()
+    assert len(rows) == 2
+    image_id, r, c, blob = rows[0]
+    arr = np.frombuffer(blob, np.float32).reshape(r, c)
+    assert c == 4  # x, y, scale placeholder, orientation placeholder
+    np.testing.assert_allclose(arr[:, 2], 1.0)
+    np.testing.assert_allclose(arr[:, 3], 0.0)
+    conn.close()
+
+
+def test_insert_matches_order_swap(tmp_path, rng):
+    db = str(tmp_path / "m.db")
+    conn = _make_db(db)
+    cur = conn.cursor()
+    matches = np.array([[0, 3], [1, 4]], np.uint32)
+    pair_id = cdb.insert_matches(cur, 2, 1, matches.copy())  # id1 > id2: swap
+    conn.commit()
+    cur.execute("SELECT data FROM matches WHERE pair_id=?;", (pair_id,))
+    blob = cur.fetchone()[0]
+    arr = np.frombuffer(blob, np.int32).reshape(-1, 2)
+    np.testing.assert_array_equal(arr, matches[:, [1, 0]])
+    conn.close()
+
+
+def test_matchers_mutual_consistency(rng):
+    # identical descriptor sets: every point must match itself
+    d = rng.rand(40, 32).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    m = mutual_nn_matcher(d, d)
+    np.testing.assert_array_equal(m[:, 0], m[:, 1])
+    assert m.shape[0] == 40
+
+    m2 = mutual_nn_ratio_matcher(d, d, ratio=0.99)
+    np.testing.assert_array_equal(m2[:, 0], m2[:, 1])
+
+    # ratio test kills ambiguous matches: duplicated descriptors
+    dd = np.concatenate([d, d], axis=0)
+    m3 = ratio_matcher(dd, d, ratio=0.9)
+    assert m3.shape[0] == 0
