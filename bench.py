@@ -97,7 +97,12 @@ def bench_extraction(batch_size: int, dtype, n_scan: int = 8):
 def main():
     backend = jax.default_backend()
     results = {}
-    configs = [(1, jnp.float32), (8, jnp.float32), (8, jnp.bfloat16), (16, jnp.bfloat16)]
+    configs = [
+        (1, jnp.float32),
+        (8, jnp.bfloat16),
+        (16, jnp.bfloat16),
+        (32, jnp.bfloat16),
+    ]
     if backend == "cpu":  # keep CI fast
         configs = [(1, jnp.float32)]
     for bs, dt in configs:

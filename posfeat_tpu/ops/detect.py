@@ -229,6 +229,57 @@ def generate_kpts_regular_grid_single(
     return kps, score, valid_count
 
 
+def generate_kpts(
+    outputs,
+    key: jax.Array,
+    *,
+    nms_radius: int,
+    num_pts: int,
+    stable_prob: float = 0.9,
+    use_nms=True,
+    stride: int = 1,
+    epoch: int = 0,
+):
+    """Two-image whole-map detector (putils:196-213): stable top-k with
+    probability stable_prob, else Gumbel sampling at 0.01/(epoch+1)."""
+    k_choice, k1, k2 = jax.random.split(key, 3)
+    kp_map1 = outputs["preds1"]["local_point"]
+    kp_map2 = outputs["preds2"]["local_point"]
+    stable = bool(jax.random.uniform(k_choice) < stable_prob)
+    temperature = 0.01 / (epoch + 1)
+    kw = dict(
+        num_pts=num_pts, nms_radius=nms_radius, use_nms=use_nms,
+        stride=stride, stable=stable, temperature=temperature,
+    )
+    kps1, s1, _ = generate_kpts_single(kp_map1, key=k1, **kw)
+    kps2, s2, _ = generate_kpts_single(kp_map2, key=k2, **kw)
+    return kps1, kps2, s1, s2
+
+
+def generate_kpts_regular_grid(
+    outputs,
+    key: jax.Array,
+    *,
+    grid_size: int,
+    num_pts: int = 0,
+    stable_prob: float = 0.9,
+    use_nms=True,
+    nms_radius: int = None,
+):
+    """Two-image grid-cell detector (putils:358-373)."""
+    k_choice, k1, k2 = jax.random.split(key, 3)
+    kp_map1 = outputs["preds1"]["local_point"]
+    kp_map2 = outputs["preds2"]["local_point"]
+    stable = bool(jax.random.uniform(k_choice) < stable_prob)
+    kw = dict(
+        grid_size=grid_size, num_pts=num_pts, stable=stable,
+        use_nms=use_nms, nms_radius=nms_radius,
+    )
+    kps1, s1, _ = generate_kpts_regular_grid_single(kp_map1, key=k1, **kw)
+    kps2, s2, _ = generate_kpts_regular_grid_single(kp_map2, key=k2, **kw)
+    return kps1, kps2, s1, s2
+
+
 DETECTORS = {
     "generate_kpts_single": generate_kpts_single,
     "generate_kpts_single_noavg": generate_kpts_single_noavg,

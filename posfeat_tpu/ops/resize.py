@@ -32,6 +32,45 @@ def _weights_np(in_size: int, out_size: int, align_corners: bool):
     return W
 
 
+def _phase_taps(k: int):
+    """Fixed 2-tap filter phases for integer ×k align_corners=False
+    upsampling: output i = k*j + r samples source j + (r+0.5)/k - 0.5."""
+    taps = []
+    for r in range(k):
+        off = (r + 0.5) / k - 0.5
+        i0 = int(np.floor(off))
+        w1 = off - i0
+        taps.append((i0, np.float32(1.0 - w1), np.float32(w1)))
+    return taps
+
+
+def _upsample_axis_int(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Exact bilinear ×k along one spatial axis via phase decomposition:
+    per output phase, a 2-tap weighted sum of (edge-clamped) shifted
+    inputs — pure VPU adds, no matmul, no large intermediate. Matches the
+    dense-matrix formulation bit-for-bit (borders: both taps clamp to the
+    edge pixel, same as torch's source-index clamping)."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+
+    def sl(start):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + n)
+        return xp[tuple(idx)]
+
+    phases = []
+    for i0, w0, w1 in _phase_taps(k):
+        a = sl(1 + i0)
+        b = sl(2 + i0)
+        phases.append(a * jnp.asarray(w0, x.dtype) + b * jnp.asarray(w1, x.dtype))
+    y = jnp.stack(phases, axis=axis + 1)  # [..., n, k, ...]
+    new_shape = list(x.shape)
+    new_shape[axis] = n * k
+    return y.reshape(new_shape)
+
+
 def interpolate_bilinear(
     x: jnp.ndarray, size, align_corners: bool = False
 ) -> jnp.ndarray:
@@ -40,6 +79,17 @@ def interpolate_bilinear(
     B, H, W, C = x.shape
     if (out_h, out_w) == (H, W):
         return x
+    # fast path: integer upscale, align_corners=False (the head's H/4 -> H
+    # upsample, DeteNet.py:109 — the hot resize of the extraction program)
+    if (
+        not align_corners
+        and out_h % H == 0
+        and out_w % W == 0
+        and out_h // H <= 8
+        and out_w // W <= 8
+    ):
+        x = _upsample_axis_int(x, out_h // H, 1)
+        return _upsample_axis_int(x, out_w // W, 2)
     dt = x.dtype
     Wh = jnp.asarray(_weights_np(H, out_h, align_corners), dt)
     Ww = jnp.asarray(_weights_np(W, out_w, align_corners), dt)

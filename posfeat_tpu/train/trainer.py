@@ -55,10 +55,16 @@ class Trainer:
         self.config = merge_from_checkpoint(config)
 
         self.save_root = os.path.join(ckpt_root, self.config["checkpoint_name"])
-        if os.path.exists(os.path.join(self.save_root, "config.yaml")) and not overwrite:
+        self.resume = bool(self.config.get("resume", False))
+        if (
+            os.path.exists(os.path.join(self.save_root, "config.yaml"))
+            and not overwrite
+            and not self.resume
+        ):
             raise FileExistsError(
                 f"The save path {self.save_root} already exists, please change "
-                "checkpoint_name (reference trainer.py:177-182 semantics)"
+                "checkpoint_name (reference trainer.py:177-182 semantics) or "
+                "set resume: True"
             )
         os.makedirs(self.save_root, exist_ok=True)
         dump_config(self.config, os.path.join(self.save_root, "config.yaml"))
@@ -96,6 +102,30 @@ class Trainer:
             m: self.variables[m]["params"] for m in self.optimal_modules
         }
         self.opt_state = self.optimizer.init(self.trainable)
+        self.start_epoch = 1
+
+        # elastic resume: pick up the latest epoch dir + optimizer state
+        # (an upgrade over the reference, which restarts optimizer state)
+        if self.resume:
+            epochs = sorted(
+                int(d) for d in os.listdir(self.save_root)
+                if d.isdigit() and os.path.isdir(os.path.join(self.save_root, d))
+            ) if os.path.isdir(self.save_root) else []
+            if epochs:
+                latest = os.path.join(self.save_root, f"{epochs[-1]:03d}")
+                self.variables = self.model.load_checkpoint(self.variables, latest)
+                self.trainable = {
+                    m: self.variables[m]["params"] for m in self.optimal_modules
+                }
+                opt = load_module_variables(os.path.join(latest, "opt_state"))
+                if opt is not None:
+                    self.opt_state = jax.tree.unflatten(
+                        jax.tree.structure(self.opt_state), jax.tree.leaves(opt)
+                    )
+                self.start_epoch = epochs[-1] + 1
+                self.logger.info(
+                    f"resumed from {latest}; continuing at epoch {self.start_epoch}"
+                )
 
         # --------------------------------------------------------- losses
         pp_name = self.config.get("preprocess_train")
@@ -287,11 +317,12 @@ class Trainer:
         tb_keys = cfg.get("tb_component", [])
         key = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
 
-        self.save_checkpoint(0)
+        if self.start_epoch == 1:
+            self.save_checkpoint(0)
         data_iter = iter(self.train_loader)
-        global_step = 0
+        global_step = (self.start_epoch - 1) * self.steps_per_epoch
 
-        for epoch in range(1, n_epochs + 1):
+        for epoch in range(self.start_epoch, n_epochs + 1):
             step_fn = self._build_step(epoch)
             t_epoch = time.time()
             for idx in range(self.steps_per_epoch):

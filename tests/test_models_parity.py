@@ -190,7 +190,8 @@ def test_keypoint_det_parity(rng):
         ref = tmodel(fm, img)
 
     variables = jax.tree.map(jnp.asarray, import_keypoint_det(tmodel.state_dict()))
-    model = KeypointDet(in_channels=192, out_channels=2, prior="identity", act="Softplus")
+    model = KeypointDet(in_channels=192, out_channels=2, prior="identity", act="Softplus",
+                        fused_upsample=False)
     ours = model.apply(
         variables,
         jnp.asarray(fm.permute(0, 2, 3, 1).numpy()),
