@@ -25,7 +25,7 @@ def epipolar_cost(
     """
     coord1_h = homogenize(coord1).transpose(0, 2, 1)  # [B, 3, n]
     coord2_h = homogenize(coord2).transpose(0, 2, 1)
-    line = fmatrix @ coord1_h  # [B, 3, n]
+    line = jnp.matmul(fmatrix, coord1_h, precision=jax.lax.Precision.HIGHEST)
     line = line / jnp.clip(
         jnp.linalg.norm(line[:, :2, :], axis=1, keepdims=True), 1e-8, None
     )
@@ -42,7 +42,7 @@ def epipolar_pairwise_dist(
     """
     coord1_h = homogenize(coord1).transpose(0, 2, 1)  # [B, 3, m]
     coord2_h = homogenize(coord2).transpose(0, 2, 1)  # [B, 3, n]
-    line = fmatrix @ coord1_h  # [B, 3, m]
+    line = jnp.matmul(fmatrix, coord1_h, precision=jax.lax.Precision.HIGHEST)  # [B, 3, m]
     line = line / jnp.clip(
         jnp.linalg.norm(line[:, :2, :], axis=1, keepdims=True), 1e-8, None
     )
@@ -103,7 +103,7 @@ def get_endpoints(coords: jnp.ndarray, fmat: jnp.ndarray, h: int, w: int):
     Returns normalized endpoints [B, n, 2] x2 and valid [B, n].
     """
     coord_h = homogenize(coords).transpose(0, 2, 1)
-    line = fmat @ coord_h  # [B, 3, n]
+    line = jnp.matmul(fmat, coord_h, precision=jax.lax.Precision.HIGHEST)  # [B, 3, n]
     points, mask, valid = _line_border_candidates(line, h, w)
     p1, p2 = _first_two(points, mask)
     return normalize_coords(p1, h, w), normalize_coords(p2, h, w), valid

@@ -119,8 +119,9 @@ class Trainer:
                 }
                 opt = load_module_variables(os.path.join(latest, "opt_state"))
                 if opt is not None:
+                    leaves = [opt[k] for k in sorted(opt)]
                     self.opt_state = jax.tree.unflatten(
-                        jax.tree.structure(self.opt_state), jax.tree.leaves(opt)
+                        jax.tree.structure(self.opt_state), leaves
                     )
                 self.start_epoch = epochs[-1] + 1
                 self.logger.info(
@@ -286,9 +287,13 @@ class Trainer:
         os.makedirs(path, exist_ok=True)
         variables = self._merge_variables(self.trainable)
         self.model.save_checkpoint(variables, path)
-        save_module_variables(
-            jax.tree.map(np.asarray, self.opt_state), os.path.join(path, "opt_state")
-        )
+        # optax states are namedtuple pytrees msgpack can't hold; store the
+        # leaves (resume unflattens against a freshly-built state template)
+        leaves = {
+            f"{i:04d}": np.asarray(leaf)
+            for i, leaf in enumerate(jax.tree.leaves(self.opt_state))
+        }
+        save_module_variables(leaves, os.path.join(path, "opt_state"))
 
     def save_error_dump(self, batch, loss_val, step):
         path = os.path.join(self.save_root, f"error_step{step}.npz")

@@ -106,10 +106,13 @@ def test_matchers_mutual_consistency(rng):
     m2 = mutual_nn_ratio_matcher(d, d, ratio=0.99)
     np.testing.assert_array_equal(m2[:, 0], m2[:, 1])
 
-    # ratio test kills ambiguous matches: near-duplicate reference
-    # descriptors make the 1st/2nd NN distances nearly equal (ratio ~1)
-    noise = rng.randn(40, 32).astype(np.float32) * 1e-3
-    dd = np.concatenate([d, d + noise], axis=0)
-    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
-    m3 = ratio_matcher(d, dd, ratio=0.9)
+    # ratio test kills ambiguous matches: queries NOT in the reference
+    # set, whose two nearest references are equally distant near-copies
+    def jitter(x, s):
+        y = x + rng.randn(*x.shape).astype(np.float32) * s
+        return y / np.linalg.norm(y, axis=1, keepdims=True)
+
+    q = jitter(d, 1e-2)
+    dd = np.concatenate([jitter(d, 1e-4), jitter(d, 1e-4)], axis=0)
+    m3 = ratio_matcher(q, dd, ratio=0.9)
     assert m3.shape[0] == 0
