@@ -125,31 +125,57 @@ class Preprocess_Line2Window:
         xf2_n = temperature * l2_normalize(xf2, axis=-1)
         xf1_n = temperature * l2_normalize(xf1, axis=-1)
 
-        if self.config["use_line_search"]:
+        engine = self.config.get("engine", "fused")
+        if self.config["use_line_search"] and engine == "fused":
+            # TPU-fused engine (ops/line_window.py): dense per-chunk
+            # correlation maps drive a band-argmax line stage and the
+            # exact reference window expectation — no descriptor gathers
+            from ..ops.line_window import fused_line_window
+
             lcfg = self.config["line_search_config"]
-            c1n_, c1n_org, valid1, _std1 = epipolar_line_search(
-                coord1, inputs["F1"], feat1_fine, xf2_n, h2i, w2i,
-                key=k_ls1, window_size=ws, **lcfg,
+            c1n_, c1n_org, valid1, feat1w_corloc_n, feat1w_std = fused_line_window(
+                xf2_n, feat1_fine, coord1, inputs["F1"], h2i, w2i,
+                key=k_ls1, window_size=ws,
+                use_nn=lcfg.get("use_nn", True),
+                loc_rand=lcfg.get("loc_rand", True),
             )
-            c2n_, c2n_org, valid2, _std2 = epipolar_line_search(
-                coord2, inputs["F2"], feat2_fine, xf1_n, h1i, w1i,
-                key=k_ls2, window_size=ws, **lcfg,
+            c2n_, c2n_org, valid2, feat2w_corloc_n, feat2w_std = fused_line_window(
+                xf1_n, feat2_fine, coord2, inputs["F2"], h1i, w1i,
+                key=k_ls2, window_size=ws,
+                use_nn=lcfg.get("use_nn", True),
+                loc_rand=lcfg.get("loc_rand", True),
             )
             feat1c_corloc_org = denormalize_coords(c1n_org, h2i, w2i)
         else:
-            c1n_ = feat1g_corloc_n
-            c2n_ = feat2g_corloc_n
-            c2n_org = c2n_
-            feat1c_corloc_org = c1n_
-            valid1 = jnp.ones_like(feat1g_std, dtype=bool)
-            valid2 = jnp.ones_like(feat2g_std, dtype=bool)
+            if self.config["use_line_search"]:
+                lcfg = self.config["line_search_config"]
+                c1n_, c1n_org, valid1, _std1 = epipolar_line_search(
+                    coord1, inputs["F1"], feat1_fine, xf2_n, h2i, w2i,
+                    key=k_ls1, window_size=ws, **lcfg,
+                )
+                c2n_, c2n_org, valid2, _std2 = epipolar_line_search(
+                    coord2, inputs["F2"], feat2_fine, xf1_n, h1i, w1i,
+                    key=k_ls2, window_size=ws, **lcfg,
+                )
+                feat1c_corloc_org = denormalize_coords(c1n_org, h2i, w2i)
+            else:
+                c1n_ = feat1g_corloc_n
+                c2n_ = feat2g_corloc_n
+                c2n_org = c2n_
+                feat1c_corloc_org = c1n_
+                valid1 = jnp.ones_like(feat1g_std, dtype=bool)
+                valid2 = jnp.ones_like(feat2g_std, dtype=bool)
 
-        feat1w_corloc_n, _, feat1w_std, _ = get_expected_correspondence_within_window(
-            feat1_fine, xf2_n, c1n_, ws, with_std=True
-        )
-        feat2w_corloc_n, _, feat2w_std, _ = get_expected_correspondence_within_window(
-            feat2_fine, xf1_n, c2n_, ws, with_std=True
-        )
+            feat1w_corloc_n, _, feat1w_std, _ = (
+                get_expected_correspondence_within_window(
+                    feat1_fine, xf2_n, c1n_, ws, with_std=True
+                )
+            )
+            feat2w_corloc_n, _, feat2w_std, _ = (
+                get_expected_correspondence_within_window(
+                    feat2_fine, xf1_n, c2n_, ws, with_std=True
+                )
+            )
 
         feat1w_corloc = denormalize_coords(feat1w_corloc_n, h2i, w2i)
         feat2w_corloc = denormalize_coords(feat2w_corloc_n, h1i, w1i)
