@@ -107,7 +107,9 @@ def fused_upsample_conv3x3(
     # output length = pl + (k*(h+1)+1) + ph - n_taps + 1 == k*h
     ph = n_taps - pl - k - 2
     flip = comp[::-1, ::-1]  # W[t] = comp_arr[n_taps - 1 - t]
-    pref = jnp.float32 if trunk.dtype in (jnp.bfloat16, jnp.float16) else None
+    # no preferred_element_type: a widened output dtype breaks the conv
+    # VJP (transpose conv would mix bf16 primals with f32 cotangents);
+    # the MXU accumulates in f32 internally either way
     out = jax.lax.conv_general_dilated(
         tp,
         flip,
@@ -116,7 +118,6 @@ def fused_upsample_conv3x3(
         lhs_dilation=(k, k),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=pref,
     )
     assert out.shape[1] == k * h and out.shape[2] == k * w, out.shape
     out = _fix_border_ring(out, trunk, kernel, k)

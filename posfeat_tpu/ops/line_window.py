@@ -40,14 +40,18 @@ from .epipolar import get_endpoints
 
 
 def _window_geometry(Hf: int, Wf: int, ws: float):
+    import numpy as np
+
     wh, ww = int(ws * Hf), int(ws * Wf)
-    offsets = gen_grid(-ws, ws, -ws, ws, wh, ww)  # [K, 2] normalized
-    off_x = offsets[:, 0].reshape(wh, ww)[0]  # [ww]
-    off_y = offsets[:, 1].reshape(wh, ww)[:, 0]  # [wh]
-    span_x = float((off_x[-1] - off_x[0]) * Wf / 2)
-    span_y = float((off_y[-1] - off_y[0]) * Hf / 2)
-    pw = int(span_x) + 3
-    ph = int(span_y) + 3
+    # numpy here: geometry must stay concrete under jit tracing
+    oy = np.linspace(-ws, ws, wh, dtype=np.float32)
+    ox = np.linspace(-ws, ws, ww, dtype=np.float32)
+    gx, gy = np.meshgrid(ox, oy, indexing="xy")
+    offsets = jnp.asarray(np.stack([gx, gy], -1).reshape(-1, 2))  # [K, 2]
+    off_x = jnp.asarray(ox)
+    off_y = jnp.asarray(oy)
+    pw = int((ox[-1] - ox[0]) * Wf / 2) + 3
+    ph = int((oy[-1] - oy[0]) * Hf / 2) + 3
     return wh, ww, offsets, off_x, off_y, ph, pw
 
 
