@@ -103,6 +103,90 @@ class DiskLoss:
 
     # -------------------------------------------------------------- loss
 
+    def _use_pallas(self):
+        """The streamed kernel covers the shipped configuration (detached
+        match distribution, constant un-rescaled reward); anything else
+        falls back to the XLA formulation."""
+        mode = self.config.get("use_pallas", "auto")
+        if mode is False:
+            return False
+        eligible = (
+            self.config["cor_detach"]
+            and not self.config["match_grad"]
+            and self.reward_name == "constant_reward"
+            and not self.config["reward_config"].get("rescale_thr", False)
+        )
+        if mode == "interpret":
+            return "interpret" if eligible else False
+        return eligible and jax.default_backend() == "tpu"
+
+    def _pallas_loss(self, inputs, feat1, feat2, coord1, coord2,
+                     logp1, logp2, accept1, accept2, temperature):
+        """Loss via ops/pallas/reinforce.py streaming reduction."""
+        from ..ops.pallas.reinforce import reinforce_reduction
+        from ..ops.coords import homogenize
+
+        b = feat1.shape[0]
+        m = feat1.shape[1]
+        n = feat2.shape[1]
+        interpret = self._use_pallas() == "interpret"
+
+        def lines_of(fmat, coords):
+            line = jnp.matmul(
+                fmat, homogenize(coords).transpose(0, 2, 1),
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B, 3, k]
+            line = line / jnp.clip(
+                jnp.linalg.norm(line[:, :2, :], axis=1, keepdims=True), 1e-8
+            )
+            return line.transpose(0, 2, 1)  # [B, k, 3]
+
+        line1 = lines_of(inputs["F1"], coord1)
+        line2 = lines_of(inputs["F2"], coord2)
+        c1h = homogenize(coord1)
+        c2h = homogenize(coord2)
+
+        s0, roww, colw, p_rowsum, p_colsum, p_max, p_sum = reinforce_reduction(
+            feat1, feat2, line1, c2h, line2, c1h,
+            accept1.reshape(b, -1), accept2.reshape(b, -1),
+            temperature=float(temperature),
+            thr=float(self.config["reward_config"]["reward_thr"]),
+            good_reward=float(self.good_reward),
+            bad_reward=float(self.bad_reward),
+            interpret=interpret,
+        )
+
+        logp1f = logp1.reshape(b, -1)
+        logp2f = logp2.reshape(b, -1)
+        a1 = accept1.reshape(b, -1)
+        a2 = accept2.reshape(b, -1)
+        reinforce = (
+            jnp.sum(s0) + jnp.sum(logp1f * roww) + jnp.sum(logp2f * colw)
+        )
+        kp_penalty = self.kp_penalty * (
+            jnp.sum(a1 * logp1f) + jnp.sum(a2 * logp2f)
+        )
+        loss = -reinforce - kp_penalty
+
+        mn = m * n
+        one = jnp.ones((), jnp.float32)
+        components = {
+            "reinforce": jax.lax.stop_gradient(reinforce),
+            "kp_penalty": jax.lax.stop_gradient(kp_penalty),
+            "scale1": one,
+            "scale2": one,
+            "cor minmax": p_max.min(),
+            "cor minmean": (p_sum / mn).min(),
+            "cor max": p_max.max(),
+            "cor mean": p_sum.sum() / (b * mn),
+            "cor summin": jnp.minimum(p_rowsum.min(), p_colsum.min()),
+            "cor summax": jnp.maximum(p_rowsum.max(), p_colsum.max()),
+            "n_kps": (a1.sum(-1) + a2.sum(-1)).astype(jnp.float32).mean(),
+            "n_pairs": p_sum.mean(),
+            "temperature": jnp.asarray(temperature, jnp.float32),
+        }
+        return loss, components
+
     def __call__(self, inputs, outputs, processed, key: jax.Array):
         preds1, preds2 = outputs["preds1"], outputs["preds2"]
         kp_map1 = preds1["local_point"]
@@ -123,6 +207,12 @@ class DiskLoss:
         coord2_n = normalize_coords(coord2, H, W)
         feat1 = sample_feat_by_coord(xf1, coord1_n, cos)  # [B, m, c]
         feat2 = sample_feat_by_coord(xf2, coord2_n, cos)  # [B, n, c]
+
+        if self._use_pallas():
+            return self._pallas_loss(
+                inputs, feat1, feat2, coord1, coord2,
+                logp1, logp2, accept1, accept2, temperature,
+            )
 
         costs = 1 - _bmm(feat1, feat2)  # [B, m, n] in [0, 2]
         if not self.config["match_grad"]:
