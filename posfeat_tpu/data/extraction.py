@@ -46,12 +46,15 @@ class _SingleImageDataset:
         return len(self.imfs)
 
     def __getitem__(self, item: int) -> Dict:
+        from .native import normalize_crop16
+
         imf = self.imfs[item]
         im = _imread_rgb(imf)
         im = crop_mod16(im)
         coord = sift_keypoints(im)
         return {
-            "im1": normalize_image(im),
+            # fused native crop+normalize (numpy fallback built in)
+            "im1": normalize_crop16(im),
             "im1_ori": im,
             "coord1": coord,
             "name1": self._name(imf),
