@@ -204,7 +204,7 @@ class KeypointDet(nn.Module):
     out_channels: int = 1
     prior: str = "SSIM"
     act: str = "Sigmoid"
-    fused_upsample: bool = True
+    fused_upsample: Any = True  # True=auto (bf16/f16), "always", False
     dtype: Any = jnp.float32
 
     def _prior(self, x):
@@ -261,7 +261,14 @@ class KeypointDet(nn.Module):
         k2, b2 = _Conv2Params(
             (3, 3, self.in_channels + 64, 128), name="conv2"
         )()
-        if self.fused_upsample and H == 4 * h and W == 4 * w:
+        # fused path wins on the MXU's native bf16; in f32 the 10×10
+        # composite kernel costs more HIGHEST passes than it saves, so
+        # True means "auto" (low-precision only); "always" forces it
+        fuse_ok = self.fused_upsample == "always" or (
+            self.fused_upsample is True
+            and self.dtype in (jnp.bfloat16, jnp.float16)
+        )
+        if fuse_ok and H == 4 * h and W == 4 * w:
             z = fused_upsample_conv3x3(trunk, k2[:, :, : self.in_channels, :], 4)
             z_img = jax.lax.conv_general_dilated(
                 img,

@@ -87,10 +87,41 @@ def generate_kpts_single(
 
     masked = (nms_mask * interior).reshape(B, -1)
     if stable:
-        # clamp k to the number of positions (tiny images), pad the slate
-        # back to the static num_pts with zero-score entries
-        k = min(num_pts, masked.shape[1])
-        scores_sel, idx = jax.lax.top_k(masked, k)
+        h2, w2 = H - 2, W - 2
+        fold = 0
+        if use_nms is True and nms_radius >= 1:
+            # NMS winners are pairwise >nms_radius apart (Chebyshev), so a
+            # (r+1)×(r+1) block holds at most one — block-max-reducing the
+            # masked map before top_k is EXACT and shrinks it (r+1)²×
+            fold = min(nms_radius + 1, 4)
+        if fold > 1:
+            hp = -(-h2 // fold) * fold
+            wp = -(-w2 // fold) * fold
+            mm = jnp.pad(
+                masked.reshape(B, h2, w2), ((0, 0), (0, hp - h2), (0, wp - w2))
+            )
+            blocks = mm.reshape(B, hp // fold, fold, wp // fold, fold)
+            blocks = blocks.transpose(0, 1, 3, 2, 4).reshape(
+                B, (hp // fold) * (wp // fold), fold * fold
+            )
+            bmax = blocks.max(axis=-1)
+            barg = jnp.argmax(blocks, axis=-1)
+            k = min(num_pts, bmax.shape[1])
+            scores_sel, bidx = jax.lax.top_k(bmax, k)
+            # recover flat indices in the (h2, w2) interior grid
+            inner = jnp.take_along_axis(barg, bidx, axis=1)
+            by = bidx // (wp // fold)
+            bx = bidx % (wp // fold)
+            yy = by * fold + inner // fold
+            xx = bx * fold + inner % fold
+            # zero-score pad blocks may decode past the interior; clip
+            # (their slots are trimmed by valid_count anyway)
+            idx = jnp.clip(yy * w2 + xx, 0, h2 * w2 - 1)
+        else:
+            # clamp k to the number of positions (tiny images), pad the
+            # slate back to the static num_pts with zero-score entries
+            k = min(num_pts, masked.shape[1])
+            scores_sel, idx = jax.lax.top_k(masked, k)
         kps = jnp.take_along_axis(
             grids.reshape(B, -1, 2), idx[..., None], axis=1
         )

@@ -41,7 +41,7 @@ def test_fused_head_full_model(rng):
                         act="Softplus", fused_upsample=False)
     variables = m_ref.init(jax.random.PRNGKey(0), fm, img)
     m_fused = KeypointDet(in_channels=32, out_channels=2, prior="identity",
-                          act="Softplus", fused_upsample=True)
+                          act="Softplus", fused_upsample="always")
 
     ref = np.asarray(m_ref.apply(variables, fm, img))
     fused = np.asarray(m_fused.apply(variables, fm, img))
