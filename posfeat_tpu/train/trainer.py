@@ -391,42 +391,114 @@ class Trainer:
     # ------------------------------------------------------ visualization
 
     def val_and_vis(self, epoch: int, step: int):
-        """Score-map snapshot dumps (reference trainer.py:380-544, reduced:
-        score maps + detected keypoints on the current val image)."""
+        """Visual validation dumps (reference trainer.py:380-544): score
+        maps, detected keypoints, and mutual-NN matches with epipolar-error
+        color coding — the reference's documented stopping criterion for
+        stage 2 (README.md:72-77)."""
         vcfg = self.config.get("val_config")
         if not vcfg:
             return
         try:
             import cv2
 
+            from ..ops.coords import denormalize_coords, normalize_coords
+            from ..ops.detect import generate_kpts_single
+            from ..ops.epipolar import epipolar_cost
+            from ..ops.grid_sample import sample_feat_by_coord
+            from ..ops.matchers import mnn_matcher
+
             if not hasattr(self, "_val_batch"):
-                val_data = self.config.get("val_dataset_override")
-                if val_data is None:
-                    # reuse a training sample deterministically
-                    sample = None
-                    for i in range(len(self.train_dataset)):
-                        sample = self.train_dataset[i]
-                        if sample is not None:
-                            break
-                    if sample is None:
-                        return
-                    self._val_batch = sample
-                else:
-                    self._val_batch = val_data
+                sample = None
+                for i in range(len(self.train_dataset)):
+                    sample = self.train_dataset[i]
+                    if sample is not None:
+                        break
+                if sample is None:
+                    return
+                self._val_batch = sample
 
             sample = self._val_batch
-            im = jnp.asarray(sample["im1"])[None]
-            variables = self._merge_variables(self.trainable)
-            outputs = self.model.extract(variables, im, train=False)
-            score = np.asarray(outputs["local_point"])[0, :, :, 0]
-
             vis_dir = os.path.join(self.save_root, "vis")
             os.makedirs(vis_dir, exist_ok=True)
-            smax = np.percentile(score, 99) + 1e-8
-            vis = (np.clip(score / smax, 0, 1) * 255).astype(np.uint8)
+            variables = self._merge_variables(self.trainable)
+            prefix = os.path.join(vis_dir, f"e{epoch:03d}_s{step}")
+
+            outs = {}
+            for tag in ("im1", "im2"):
+                if tag not in sample:
+                    continue
+                im = jnp.asarray(sample[tag])[None]
+                outputs = self.model.extract(variables, im, train=False)
+                outs[tag] = outputs
+                score = np.asarray(outputs["local_point"], np.float32)[0, :, :, 0]
+                smax = np.percentile(score, 99) + 1e-8
+                vis = (np.clip(score / smax, 0, 1) * 255).astype(np.uint8)
+                cv2.imwrite(
+                    f"{prefix}_{tag}_score.jpg",
+                    cv2.applyColorMap(vis, cv2.COLORMAP_JET),
+                )
+
+            if "im2" not in outs or "F1" not in sample:
+                return
+
+            # detect + describe + mutual-NN match, epipolar-error colored
+            det_cfg = vcfg.get("detector_config") or {
+                "num_pts": 512, "nms_radius": 1, "use_nms": True, "thr": False,
+            }
+            feats = {}
+            for tag in ("im1", "im2"):
+                H, W = sample[tag].shape[:2]
+                o = outs[tag]
+                kps_n, _, valid = generate_kpts_single(
+                    o["local_point"].astype(jnp.float32),
+                    num_pts=int(det_cfg.get("num_pts", 512)),
+                    nms_radius=int(det_cfg.get("nms_radius", 1)),
+                    use_nms=det_cfg.get("use_nms", True),
+                    thr=det_cfg.get("thr", False),
+                )
+                desc = sample_feat_by_coord(o["local_map"], kps_n, True)
+                n = max(min(int(valid[0]), kps_n.shape[1]), 8)
+                feats[tag] = (
+                    np.asarray(denormalize_coords(kps_n, H, W))[0, :n],
+                    np.asarray(desc, np.float32)[0, :n],
+                )
+
+            k1, d1 = feats["im1"]
+            k2, d2 = feats["im2"]
+            matches = mnn_matcher(d1, d2)
+            topk = int(vcfg.get("vis_topk", 50))
+            matches = matches[:topk]
+            if len(matches):
+                c1 = k1[matches[:, 0]][None]
+                c2 = k2[matches[:, 1]][None]
+                err = np.asarray(
+                    epipolar_cost(
+                        jnp.asarray(c1), jnp.asarray(c2),
+                        jnp.asarray(sample["F1"])[None],
+                    )
+                )[0]
+            else:
+                err = np.zeros((0,))
+
+            im1 = sample["im1_ori"].copy()
+            im2 = sample["im2_ori"].copy()
+            h1 = im1.shape[0]
+            canvas = np.zeros(
+                (max(h1, im2.shape[0]), im1.shape[1] + im2.shape[1], 3), np.uint8
+            )
+            canvas[: im1.shape[0], : im1.shape[1]] = im1
+            canvas[: im2.shape[0], im1.shape[1] :] = im2
+            thr_px = float(vcfg.get("vis_err_thr", 5))
+            for mi, (a, b) in enumerate(matches):
+                p1 = (int(k1[a][0]), int(k1[a][1]))
+                p2 = (int(k2[b][0]) + im1.shape[1], int(k2[b][1]))
+                good = err[mi] < thr_px
+                color = (0, 255, 0) if good else (0, 0, 255)
+                cv2.line(canvas, p1, p2, color, 1)
+                cv2.circle(canvas, p1, 2, color, -1)
+                cv2.circle(canvas, p2, 2, color, -1)
             cv2.imwrite(
-                os.path.join(vis_dir, f"e{epoch:03d}_s{step}_score.jpg"),
-                cv2.applyColorMap(vis, cv2.COLORMAP_JET),
+                f"{prefix}_matches.jpg", cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR)
             )
         except Exception as e:  # vis must never kill training
             self.logger.warning(f"val_and_vis failed: {e}")

@@ -167,7 +167,7 @@ def _train_config(tmp_path, stage: str):
             "batch_size": 2,
             "workers": 2,
         },
-        "val_config": None,
+        "val_config": {"vis_topk": 20, "vis_err_thr": 5},
     }
     if stage == "desc":
         base.update(
@@ -249,6 +249,10 @@ def test_train_stage1_smoke(tmp_path):
     with open(str(tmp_path / "ckpts/smoke_desc/metrics.jsonl")) as f:
         recs = [json.loads(line) for line in f]
     assert recs and np.isfinite(recs[-1]["total_loss"])
+    # visual validation dumps (score maps + matches) were produced
+    vis_files = os.listdir(str(tmp_path / "ckpts/smoke_desc/vis"))
+    assert any("score" in f for f in vis_files)
+    assert any("matches" in f for f in vis_files)
 
 
 @pytest.mark.slow
