@@ -26,6 +26,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from posfeat_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 BASELINE_IMAGES_PER_SEC = 25.0
 H, W = 480, 640

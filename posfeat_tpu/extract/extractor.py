@@ -37,6 +37,9 @@ from ..ops.grid_sample import sample_feat_by_coord
 
 class Extractor:
     def __init__(self, config, ckpt_root: str = "./ckpts"):
+        from ..core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if isinstance(config, str):
             config = load_config(config)
         self.config = merge_from_checkpoint(config)

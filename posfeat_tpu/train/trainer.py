@@ -50,6 +50,9 @@ _DEVICE_KEYS = (
 
 class Trainer:
     def __init__(self, config, ckpt_root: str = "./ckpts", overwrite: bool = False):
+        from ..core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if isinstance(config, str):
             config = load_config(config)
         self.config = merge_from_checkpoint(config)

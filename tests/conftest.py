@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from posfeat_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 @pytest.fixture
 def rng():
