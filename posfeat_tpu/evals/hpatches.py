@@ -145,6 +145,60 @@ def summary_line(name: str, errors) -> str:
     )
 
 
+def plot_mma_curves(
+    method_errors: Dict[str, tuple],
+    out_path: str,
+    plt_lim=(1, 10),
+):
+    """Three-panel MMA-vs-threshold curves (overall / illumination /
+    viewpoint), the reference's results figure (evaluation.py:181-243).
+
+    method_errors: {display_name: errors tuple}; writes pdf/png per the
+    out_path extension (plus a sibling .png when out_path is a .pdf).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt_rng = np.arange(plt_lim[0], plt_lim[1] + 1)
+    panels = [
+        ("Overall", lambda e, t: mma_at(e, t)[0]),
+        ("Illumination", lambda e, t: mma_at(e, t)[1]),
+        ("Viewpoint", lambda e, t: mma_at(e, t)[2]),
+    ]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4.2), sharey=True)
+    for ax, (title, f) in zip(axes, panels):
+        for name, errors in method_errors.items():
+            ys = [f(errors, int(t)) for t in plt_rng]
+            ax.plot(plt_rng, ys, linewidth=2, marker="o", markersize=3,
+                    label=name)
+        ax.set_title(title)
+        ax.set_xlabel("threshold [px]")
+        ax.set_xlim(plt_lim)
+        ax.set_ylim(0, 1)
+        ax.grid(alpha=0.3)
+    axes[0].set_ylabel("MMA")
+    axes[-1].legend(fontsize=8, loc="lower right")
+    fig.tight_layout()
+    fig.savefig(out_path, bbox_inches="tight")
+    if out_path.endswith(".pdf"):
+        fig.savefig(out_path[:-4] + ".png", dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def results_table(method_errors: Dict[str, tuple]) -> str:
+    """The reference's txt results table (evaluation.py:245-256):
+    one `summary_line` row per method + header."""
+    header = "{} & #Features & #Matches & MMAscore & MMAsc.illum & MMAsc.view".format(
+        "Method".ljust(25)
+    )
+    rows = [header] + [
+        summary_line(name, errors) for name, errors in method_errors.items()
+    ]
+    return "\n".join(rows)
+
+
 def main(argv=None):
     import argparse
 
@@ -154,17 +208,39 @@ def main(argv=None):
     p.add_argument("--method", required=True, help="feature-file postfix")
     p.add_argument("--cache_dir", default=None)
     p.add_argument("--ref_cache", default=None, help="reference .npy to compare")
+    p.add_argument(
+        "--compare_cache_dir", default=None,
+        help="directory of reference-format .npy caches to overlay (all files)",
+    )
+    p.add_argument("--plot", default=None, help="write MMA curve figure here")
+    p.add_argument("--table", default=None, help="write results txt table here")
     args = p.parse_args(argv)
 
     errors = evaluate_method(
         args.dataset_path, args.features_path, args.method, args.cache_dir
     )
-    print(summary_line(args.method, errors))
-    print("MMA@3px (overall/illum/view): {:.4f} / {:.4f} / {:.4f}".format(
-        *mma_at(errors, 3)))
+    method_errors = {args.method: errors}
     if args.ref_cache:
         ref = load_reference_cache(args.ref_cache)
+        method_errors[os.path.splitext(os.path.basename(args.ref_cache))[0]] = ref
         print("reference MMA@3px: {:.4f} / {:.4f} / {:.4f}".format(*mma_at(ref, 3)))
+    if args.compare_cache_dir:
+        for f in sorted(os.listdir(args.compare_cache_dir)):
+            if f.endswith(".npy") and os.path.splitext(f)[0] not in method_errors:
+                method_errors[os.path.splitext(f)[0]] = load_reference_cache(
+                    os.path.join(args.compare_cache_dir, f)
+                )
+
+    print(results_table(method_errors))
+    print("MMA@3px (overall/illum/view): {:.4f} / {:.4f} / {:.4f}".format(
+        *mma_at(errors, 3)))
+    if args.plot:
+        plot_mma_curves(method_errors, args.plot)
+        print(f"curves -> {args.plot}")
+    if args.table:
+        with open(args.table, "w") as fh:
+            fh.write(results_table(method_errors) + "\n")
+        print(f"table -> {args.table}")
 
 
 if __name__ == "__main__":

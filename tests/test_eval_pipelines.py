@@ -116,3 +116,30 @@ def test_matchers_mutual_consistency(rng):
     dd = np.concatenate([jitter(d, 1e-4), jitter(d, 1e-4)], axis=0)
     m3 = ratio_matcher(q, dd, ratio=0.9)
     assert m3.shape[0] == 0
+
+
+def test_hpatches_plot_and_table(tmp_path, rng):
+    """MMA curve figure + txt results table (reference evaluation.py:181-256)."""
+    from posfeat_tpu.evals import hpatches as hp
+
+    def fake_errors(level):
+        i_err = {int(t): level * hp.N_I * 5 for t in hp.THRESHOLDS}
+        v_err = {int(t): level * hp.N_V * 5 * 0.9 for t in hp.THRESHOLDS}
+        aux = [
+            np.array(["i", "v"]),
+            np.array([1000, 1200]),
+            np.array([400, 500]),
+        ]
+        return (i_err, v_err, aux)
+
+    methods = {"ours": fake_errors(0.8), "baseline": fake_errors(0.6)}
+    table = hp.results_table(methods)
+    lines = table.splitlines()
+    assert len(lines) == 3 and lines[1].startswith("ours")
+    # MMAscore of the constant-0.8/0.72 curves
+    s = hp.mma_score(methods["ours"])
+    assert abs(s[1] - 0.8) < 1e-9 and abs(s[2] - 0.72) < 1e-9
+
+    out = str(tmp_path / "curves.pdf")
+    hp.plot_mma_curves(methods, out)
+    assert os.path.exists(out) and os.path.exists(str(tmp_path / "curves.png"))
