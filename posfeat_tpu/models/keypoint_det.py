@@ -18,18 +18,25 @@ from flax import linen as nn
 from ..ops.resize import interpolate_bilinear
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def instance_norm(
+    x: jnp.ndarray, eps: float = 1e-5, axes: tuple = (1, 2)
+) -> jnp.ndarray:
     """Non-affine InstanceNorm2d over spatial dims (NHWC), biased variance.
 
-    Statistics accumulate in f32 regardless of compute dtype — a bf16
-    reduction over ~300k pixels would lose all precision.
+    `axes` generalizes the spatial reduction so phase-layout tensors
+    ([B, h, w, ky, kx, C], axes=(1,2,3,4)) normalize identically to their
+    full-resolution counterparts. Statistics accumulate in f32 regardless
+    of compute dtype — a bf16 reduction over ~300k pixels would lose all
+    precision.
     """
     xf = x.astype(jnp.float32)
-    n = x.shape[1] * x.shape[2]
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
     # single-traversal moments (XLA fuses both reductions into one pass
     # over HBM): var = E[x^2] - E[x]^2, biased, matching torch
-    s1 = jnp.sum(xf, axis=(1, 2), keepdims=True)
-    s2 = jnp.sum(xf * xf, axis=(1, 2), keepdims=True)
+    s1 = jnp.sum(xf, axis=axes, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=axes, keepdims=True)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
@@ -54,7 +61,102 @@ def _bilinear_taps_1d(k: int):
     return ms, [taps[m] for m in ms]
 
 
-def fused_upsample_conv3x3(
+def _phase_mix_matrix(k: int):
+    """Constant M[r, d, d'] expressing the phase decomposition of
+    conv3x3 ∘ bilinear_upsample_×k: output phase r at trunk cell q is
+    Σ_{d,d'} M[r,d,d']·K[d']·tp[q + d] per axis, tp = edge-padded trunk.
+
+    Derivation: the composite transposed-conv kernel is
+    comp[t] = Σ_{d'} u_ext[t + d']·K[d'] (t ∈ [0, n_taps)), and output
+    o = k·q + r reads tap t = k·d + pl − r at padded cell q + d, with
+    pl = hi + 1 − k. Flipping for cross-correlation gives tap index
+    n_taps − 1 − (k·d + pl − r). Returns (M [k, D, 3], D).
+    """
+    import numpy as np
+
+    ms, vals = _bilinear_taps_1d(k)
+    lo, hi = ms[0], ms[-1]
+    n_taps = hi - lo + 3  # composite support incl. the conv's ±1
+    u_ext = np.zeros((n_taps + 2,), np.float32)
+    for m, v in zip(ms, vals):
+        u_ext[m - lo + 2] = v
+    A = np.stack([u_ext[d : d + n_taps] for d in range(3)], axis=1)  # [t, d']
+    pl = hi + 1 - k
+    D = (n_taps + k - 1) // k
+    M = np.zeros((k, D, 3), np.float32)
+    for r in range(k):
+        for d in range(D):
+            t = n_taps - 1 - (k * d + pl - r)
+            if 0 <= t < n_taps:
+                M[r, d] = A[t]
+    return M, D
+
+
+def fused_upsample_conv3x3_phase(
+    trunk: jnp.ndarray, kernel: jnp.ndarray, k: int = 4
+) -> jnp.ndarray:
+    """conv3x3(bilinear_upsample_×k(trunk)) in PHASE layout.
+
+    The head's hot path (DeteNet.py:108-112) materializes an H×W×192
+    upsampled tensor (≈1 GB per batch at 480×640 bf16) only to feed a 3×3
+    conv. Both ops are linear, so each of the k² output phases is a small
+    D×D conv over the trunk: one VALID conv with a [D, D, Cin, k²·Cout]
+    kernel — ~k²/1.4 fewer MACs than convolving the upsampled map and no
+    intermediate tensor. The result stays in phase layout
+    [B, h, w, k, k, Cout] so downstream elementwise/1×1 stages never pay
+    a full-resolution depth-to-space.
+
+    Border semantics: the upsample's edge clamping is reproduced by a
+    1-px edge pad of the trunk; the conv's zero padding differs from the
+    composite on the outermost output ring only — fix with
+    _fix_border_ring_phase for reference-exact values.
+    """
+    import numpy as np
+
+    M, D = _phase_mix_matrix(k)
+    kf = kernel.astype(jnp.float32)
+    # Kph[d, e, c, r_y, r_x, o] = Σ_{d',e'} M[ry,d,d']·M[rx,e,e']·K[d',e',c,o]
+    kph = jnp.einsum(
+        "rda,sep,apcf->decrsf",
+        jnp.asarray(M),
+        jnp.asarray(M),
+        kf,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    B, h, w, Cin = trunk.shape
+    Cout = kernel.shape[-1]
+    kph = kph.reshape(D, D, Cin, k * k * Cout).astype(trunk.dtype)
+    # edge pad reproduces the upsample's source-index clamping
+    tp = jnp.pad(trunk, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    # no preferred_element_type: a widened output dtype breaks the conv
+    # VJP (transpose conv would mix bf16 primals with f32 cotangents);
+    # the MXU accumulates in f32 internally either way
+    z = jax.lax.conv_general_dilated(
+        tp,
+        kph,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    assert z.shape[1] == h and z.shape[2] == w, z.shape
+    return z.reshape(B, h, w, k, k, Cout)
+
+
+def space_to_phase(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[B, k·h, k·w, C] -> [B, h, w, k, k, C] (phase/space-to-depth)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // k, k, W // k, k, C)
+    return x.transpose(0, 1, 3, 2, 4, 5)
+
+
+def phase_to_space(z: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, w, k, k, C] -> [B, k·h, k·w, C] (depth-to-space)."""
+    B, h, w, ky, kx, C = z.shape
+    return z.transpose(0, 1, 3, 2, 4, 5).reshape(B, h * ky, w * kx, C)
+
+
+def fused_upsample_conv3x3_dilated(
     trunk: jnp.ndarray, kernel: jnp.ndarray, k: int = 4
 ) -> jnp.ndarray:
     """conv3x3(bilinear_upsample_x{k}(trunk)) as ONE input-dilated conv.
@@ -124,6 +226,8 @@ def fused_upsample_conv3x3(
     return out.astype(trunk.dtype)
 
 
+
+
 def _fix_border_ring(out, trunk, kernel, k):
     """Overwrite the outermost output ring with the reference-exact values.
 
@@ -134,7 +238,7 @@ def _fix_border_ring(out, trunk, kernel, k):
     reduces to four 1-D convs on upsampled edge strips.
     """
     assert k == 4, "exact border fix derived for the head's x4 case"
-    from ..ops.resize import _upsample_axis_int
+    from posfeat_tpu.ops.resize import _upsample_axis_int
 
     B, h, w, Cin = trunk.shape
     K = kernel.astype(jnp.float32)  # [3, 3, Cin, Cout]
@@ -177,6 +281,111 @@ def _fix_border_ring(out, trunk, kernel, k):
     return jnp.concatenate(
         [z_top.astype(dt)[:, None], mid, z_bot.astype(dt)[:, None]], axis=1
     )
+
+
+def fused_upsample_conv3x3(
+    trunk: jnp.ndarray, kernel: jnp.ndarray, k: int = 4
+) -> jnp.ndarray:
+    """Reference-exact conv3x3(bilinear_upsample_×k(trunk)) at full
+    resolution: phase conv + border-ring fix + depth-to-space.
+
+    trunk: [B, h, w, Cin]; kernel: [3, 3, Cin, Cout] -> [B, k*h, k*w, Cout].
+    """
+    z = fused_upsample_conv3x3_phase(trunk, kernel, k)
+    z = _fix_border_ring_phase(z, trunk, kernel, k)
+    return phase_to_space(z).astype(trunk.dtype)
+
+
+def _fix_border_ring_phase(z, trunk, kernel, k):
+    """Subtract the composite-vs-reference discrepancy from the outermost
+    output ring of a phase-layout tensor [B, h, w, k, k, Cout].
+
+    The composite conv sees clamped upsample values where the reference
+    conv2 zero-pads the upsampled map, so z differs from the reference
+    exactly by the padded-tap contributions: on the top output row the
+    excess is conv1d(Ux[-1,·], K[0]) (Ux[-1,·] = edge strip, since every
+    out-of-range bilinear tap clamps), and analogously for the other
+    three edges; each corner term is counted by both adjacent edges, so
+    it is removed once from the row strips. The correction is applied as
+    ADDITION of zero-padded thin strips — no dynamic-update-slice, so
+    XLA fuses it into the downstream instance-norm pass instead of
+    copying the ~GB phase tensor four times."""
+    assert k == 4, "exact border fix derived for the head's x4 case"
+    from ..ops.resize import _upsample_axis_int
+
+    B, h, w, Cin = trunk.shape
+    K = kernel.astype(jnp.float32)  # [3, 3, Cin, Cout]
+    f32 = jnp.float32
+    # edge strips of the (virtual) upsampled map: Ux[-1,x]=top_src[x] etc.
+    top_src = _upsample_axis_int(trunk[:, 0:1, :, :].astype(f32), k, 2)[:, 0]
+    bot_src = _upsample_axis_int(trunk[:, h - 1 : h, :, :].astype(f32), k, 2)[:, 0]
+    left_src = _upsample_axis_int(trunk[:, :, 0:1, :].astype(f32), k, 1)[:, :, 0]
+    right_src = _upsample_axis_int(trunk[:, :, w - 1 : w, :].astype(f32), k, 1)[:, :, 0]
+
+    def conv1d_edge(strip, k1d):
+        # strip: [B, L, Cin]; k1d: [3, Cin, Cout]; EDGE 'same' padding —
+        # the out-of-range taps of the virtual Ux clamp to the corners
+        sp = jnp.pad(strip, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        return jax.lax.conv_general_dilated(
+            sp[:, :, None, :],
+            k1d[:, None, :, :],
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, :, 0, :]
+
+    T = conv1d_edge(top_src, K[0])
+    Bo = conv1d_edge(bot_src, K[2])
+    L = conv1d_edge(left_src, K[:, 0])
+    R = conv1d_edge(right_src, K[:, 2])
+
+    # corner double-counts (row and column strips both include them)
+    prec = jax.lax.Precision.HIGHEST
+    c00 = jnp.einsum("bc,cf->bf", trunk[:, 0, 0].astype(f32), K[0, 0], precision=prec)
+    c0w = jnp.einsum("bc,cf->bf", trunk[:, 0, w - 1].astype(f32), K[0, 2], precision=prec)
+    ch0 = jnp.einsum("bc,cf->bf", trunk[:, h - 1, 0].astype(f32), K[2, 0], precision=prec)
+    chw = jnp.einsum("bc,cf->bf", trunk[:, h - 1, w - 1].astype(f32), K[2, 2], precision=prec)
+    T = T.at[:, 0].add(-c00).at[:, -1].add(-c0w)
+    Bo = Bo.at[:, 0].add(-ch0).at[:, -1].add(-chw)
+
+    C = z.shape[-1]
+
+    def pad_row(strip, q_pos, r_pos):
+        s = strip.reshape(B, 1, w, 1, k, C)
+        return jnp.pad(
+            s,
+            (
+                (0, 0),
+                (q_pos, h - 1 - q_pos),
+                (0, 0),
+                (r_pos, k - 1 - r_pos),
+                (0, 0),
+                (0, 0),
+            ),
+        )
+
+    def pad_col(strip, q_pos, r_pos):
+        s = strip.reshape(B, h, 1, k, 1, C)
+        return jnp.pad(
+            s,
+            (
+                (0, 0),
+                (0, 0),
+                (q_pos, w - 1 - q_pos),
+                (0, 0),
+                (r_pos, k - 1 - r_pos),
+                (0, 0),
+            ),
+        )
+
+    D = (
+        pad_row(T, 0, 0)
+        + pad_row(Bo, h - 1, k - 1)
+        + pad_col(L, 0, 0)
+        + pad_col(R, w - 1, k - 1)
+    )
+    return z - D.astype(z.dtype)
 
 
 class _Conv2Params(nn.Module):
@@ -261,15 +470,26 @@ class KeypointDet(nn.Module):
         k2, b2 = _Conv2Params(
             (3, 3, self.in_channels + 64, 128), name="conv2"
         )()
-        # fused path wins on the MXU's native bf16; in f32 the 10×10
-        # composite kernel costs more HIGHEST passes than it saves, so
-        # True means "auto" (low-precision only); "always" forces it
-        fuse_ok = self.fused_upsample == "always" or (
+        # fused paths win on the MXU's native bf16; in f32 the composite
+        # kernels cost more HIGHEST passes than they save, so True means
+        # "auto" (low-precision only); "always" forces the composite
+        # dilated conv; "phase" selects the phase-layout tail
+        fuse_ok = self.fused_upsample in ("always", "phase") or (
             self.fused_upsample is True
             and self.dtype in (jnp.bfloat16, jnp.float16)
         )
-        if fuse_ok and H == 4 * h and W == 4 * w:
-            z = fused_upsample_conv3x3(trunk, k2[:, :, : self.in_channels, :], 4)
+        B = img_tensor.shape[0]
+        size_ok = H == 4 * h and W == 4 * w
+        phase = self.fused_upsample == "phase" and size_ok
+        if phase:
+            # stay in H/4 phase layout [B, h, w, 4, 4, C] through the
+            # whole tail — only the 1-2 channel score map ever pays a
+            # depth-to-space; numerically identical to the reference
+            # dataflow (instance_norm reduces over all phases/pixels,
+            # conv3 is 1×1, the rest is elementwise)
+            kt = k2[:, :, : self.in_channels, :]
+            z = fused_upsample_conv3x3_phase(trunk, kt, 4)
+            z = _fix_border_ring_phase(z, trunk, kt, 4)
             z_img = jax.lax.conv_general_dilated(
                 img,
                 k2[:, :, self.in_channels :, :].astype(self.dtype),
@@ -278,7 +498,22 @@ class KeypointDet(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(self.dtype)
-            x = z + z_img + b2.astype(self.dtype)
+            z = z + space_to_phase(z_img, 4) + b2.astype(self.dtype)
+            x = prelu(instance_norm(z, axes=(1, 2, 3, 4)))
+            x = x.reshape(B, h, w * 16, x.shape[-1])
+        elif fuse_ok and size_ok:
+            z = fused_upsample_conv3x3_dilated(
+                trunk, k2[:, :, : self.in_channels, :], 4
+            )
+            z_img = jax.lax.conv_general_dilated(
+                img,
+                k2[:, :, self.in_channels :, :].astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(self.dtype)
+            x = prelu(instance_norm(z + z_img + b2.astype(self.dtype)))
         else:
             xu = interpolate_bilinear(trunk, (H, W), align_corners=False)
             xcat = jnp.concatenate([xu, img], axis=-1)
@@ -290,8 +525,12 @@ class KeypointDet(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(self.dtype) + b2.astype(self.dtype)
-        x = prelu(instance_norm(x))
+            x = prelu(instance_norm(x))
         score = self._act(instance_norm(conv(self.out_channels, 1, "conv3")(x)))
+        if phase:
+            score = phase_to_space(
+                score.reshape(B, h, w, 4, 4, self.out_channels)
+            )
 
         score = (
             interpolate_bilinear(

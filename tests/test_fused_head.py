@@ -30,8 +30,13 @@ def test_fused_upsample_conv_matches(rng):
     np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_fused_head_full_model(rng):
-    """Full KeypointDet: fused vs reference dataflow, same params."""
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["always", "phase"])
+def test_fused_head_full_model(rng, mode):
+    """Full KeypointDet: fused (dilated-composite and phase-layout)
+    dataflows vs the reference dataflow, same params."""
     from posfeat_tpu.models import KeypointDet
 
     fm = jnp.asarray(rng.rand(1, 16, 20, 32).astype(np.float32))
@@ -41,7 +46,7 @@ def test_fused_head_full_model(rng):
                         act="Softplus", fused_upsample=False)
     variables = m_ref.init(jax.random.PRNGKey(0), fm, img)
     m_fused = KeypointDet(in_channels=32, out_channels=2, prior="identity",
-                          act="Softplus", fused_upsample="always")
+                          act="Softplus", fused_upsample=mode)
 
     ref = np.asarray(m_ref.apply(variables, fm, img))
     fused = np.asarray(m_fused.apply(variables, fm, img))
