@@ -1,0 +1,97 @@
+"""Spatial (H-axis) sharding of extraction over the 8-device CPU mesh:
+the SPMD-partitioned program must match the single-device result."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from posfeat_tpu.models import PoSFeat
+from posfeat_tpu.parallel import shard_image_spatial, spatial_extract, spatial_mesh
+
+SMALL = {
+    "backbone": "ResUNet",
+    "backbone_config": {
+        "encoder": "resnet18",
+        "pretrained": False,
+        "coarse_out_ch": 32,
+        "fine_out_ch": 32,
+    },
+    "localheader": "KeypointDet",
+    "localheader_config": {"in_channels": 96, "prior": "identity", "act": "Softplus"},
+    "align_local_grad": False,
+    "local_input_elements": ["local_map", "local_map_small"],
+    "local_with_img": True,
+}
+
+
+def _cpu8():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    return devs[:8]
+
+
+def test_spatial_extract_matches_single_device(rng):
+    model = PoSFeat(SMALL, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), im_shape=(1, 64, 64, 3))
+
+    # H = 256 -> H/16 = 16 = 2 rows per device on the 8-way mesh
+    cpus = _cpu8()
+    im = jax.device_put(
+        jnp.asarray(rng.rand(1, 256, 128, 3).astype(np.float32)), cpus[0]
+    )
+    variables = jax.device_put(variables, cpus[0])
+
+    ref = model.extract(variables, im, train=False)
+
+    mesh = spatial_mesh(cpus)
+    fn = spatial_extract(model, mesh)
+    out = fn(variables, shard_image_spatial(im, mesh))
+
+    for k in ("local_map", "local_point", "global_map"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_spatial_extract_with_detector(rng):
+    """Detector + descriptor sampling inside the sharded program."""
+    from posfeat_tpu.ops.detect import generate_kpts_single
+    from posfeat_tpu.ops.grid_sample import sample_feat_by_coord
+
+    model = PoSFeat(SMALL, dtype=jnp.float32)
+    cpus = _cpu8()
+    variables = jax.device_put(
+        model.init(jax.random.PRNGKey(0), im_shape=(1, 64, 64, 3)), cpus[0]
+    )
+    im = jax.device_put(
+        jnp.asarray(rng.rand(1, 256, 128, 3).astype(np.float32)), cpus[0]
+    )
+
+    def post(outputs):
+        coord_n, score, valid = generate_kpts_single(
+            outputs["local_point"], num_pts=256, nms_radius=1, use_nms=True
+        )
+        feat = sample_feat_by_coord(outputs["local_map"], coord_n, norm=True)
+        return coord_n, score, feat, valid
+
+    mesh = spatial_mesh(cpus)
+    fn = spatial_extract(model, mesh, postprocess=post)
+    coord_n, score, feat, valid = fn(variables, shard_image_spatial(im, mesh))
+
+    ref_out = model.extract(variables, im, train=False)
+    r_coord, r_score, r_valid = generate_kpts_single(
+        ref_out["local_point"], num_pts=256, nms_radius=1, use_nms=True
+    )
+
+    # top-k ordering between near-equal scores can differ with sharded
+    # reduction order — compare the keypoint SETS, not their order
+    def ordered(c, s):
+        c, s = np.asarray(c)[0], np.asarray(s)[0]
+        idx = np.lexsort((c[:, 1], c[:, 0]))
+        return c[idx], s[idx]
+
+    c1, s1 = ordered(coord_n, score)
+    c2, s2 = ordered(r_coord, r_score)
+    np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-5)
+    assert feat.shape[-1] == SMALL["backbone_config"]["fine_out_ch"]
