@@ -13,3 +13,13 @@ reference: /root/reference). Provides:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("POSFEAT_PLATFORM"):
+    # Explicit platform override (e.g. POSFEAT_PLATFORM=cpu for host-side
+    # runs of the CLIs). Needed because site hooks may select the TPU
+    # platform programmatically, which overrides JAX_PLATFORMS.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["POSFEAT_PLATFORM"])

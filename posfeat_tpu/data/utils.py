@@ -133,3 +133,85 @@ def color_jitter(im: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
             hsv[..., 0] = (hsv[..., 0] + rng.uniform(-0.4, 0.4) * 360.0) % 360.0
             im = np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0, 1)
     return (im * 255).astype(np.uint8)
+
+
+def rotate_image(image: np.ndarray, angle: float):
+    """Rotate + rescale so the rotated content fills the frame
+    (data_utils.py:14-29). Returns (rotated image, 4x4 rotation matrix
+    whose upper-left 2x2 is the applied affine rotation block)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    rad = np.abs(angle / 180.0 * np.pi)
+    cos, sin, tan = np.cos(rad), np.sin(rad), np.tan(rad)
+    scale_h = (h / cos + (w - h * tan) * sin) / h
+    scale_w = (h / sin + (w - h / tan) * cos) / w
+    scale = max(scale_h, scale_w)
+    center = tuple(np.array(image.shape[1::-1]) / 2.0)
+    rot_mat = cv2.getRotationMatrix2D(center, angle, scale)
+    result = cv2.warpAffine(
+        image, rot_mat, image.shape[1::-1], flags=cv2.INTER_LINEAR
+    )
+    rotation = np.eye(4)
+    rotation[:2, :2] = rot_mat[:2, :2]
+    return result, rotation
+
+
+def perspective_transform(
+    img: np.ndarray, param: float = 0.001, rng: np.random.RandomState = None
+):
+    """Random small perspective warp (data_utils.py:31-45); explicit rng
+    instead of the reference's fresh RandomState(None)."""
+    import cv2
+
+    rng = rng or np.random.RandomState()
+    h, w = img.shape[:2]
+    M = np.eye(3) + param * (2.0 * rng.rand(3, 3) - 1.0)
+    return cv2.warpPerspective(img, M, (w, h)), M
+
+
+def generate_query_kpts(
+    img: np.ndarray, mode: str, num_pts: int, h: int, w: int,
+    rng: np.random.RandomState = None,
+) -> np.ndarray:
+    """Query-keypoint candidates: 'random' | 'sift' | 'mixed'
+    (data_utils.py:48-78). 'mixed' = 10% uniform-random + 90% SIFT."""
+    rng = rng or np.random.RandomState()
+    if mode == "random":
+        return np.stack(
+            [rng.rand(num_pts) * (w - 1), rng.rand(num_pts) * (h - 1)]
+        ).T
+    if mode == "sift":
+        return sift_keypoints(img, nfeatures=num_pts)
+    if mode == "mixed":
+        kp_rand = np.stack(
+            [
+                rng.rand(int(0.1 * num_pts)) * (w - 1),
+                rng.rand(int(0.1 * num_pts)) * (h - 1),
+            ]
+        ).T
+        kp_sift = sift_keypoints(img, nfeatures=int(0.9 * num_pts))
+        if len(kp_sift) == 0:
+            return kp_rand
+        return np.concatenate([kp_rand, kp_sift], 0)
+    raise ValueError(f"unknown type of keypoints {mode!r}")
+
+
+def tensor2array(arr: np.ndarray, max_value=None, colormap: str = "coolwarm"):
+    """Render a 2-D array (or CHW/HWC image) to a float CHW RGB array via
+    a matplotlib colormap (data_utils.py:127-148) — used by score-map and
+    error visualizations."""
+    if max_value is None:
+        max_value = float(arr.max()) if arr.size else 1.0
+    if arr.ndim == 2:
+        import matplotlib.cm as cm
+
+        norm = np.clip(arr / max(max_value, 1e-12), 0, 1)
+        return cm.get_cmap(colormap)(norm).transpose(2, 0, 1)[:3].astype(
+            np.float32
+        )
+    if arr.ndim == 3 and arr.shape[0] == 3:  # CHW image
+        return ((arr + 1.0) / 2.0).astype(np.float32)
+    if arr.ndim == 3 and arr.shape[2] == 3:  # HWC image
+        return ((arr.transpose(2, 0, 1) + 1.0) / 2.0).astype(np.float32)
+    raise ValueError(f"unsupported shape {arr.shape}")

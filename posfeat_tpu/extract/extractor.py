@@ -51,6 +51,17 @@ class Extractor:
         self.save_npz = self.config.get("save_npz", True)
         self.save_h5 = self.config.get("save_h5", False)
 
+        # fail fast on an existing run dir (reference extractor.py:133-140)
+        # unless resume: True explicitly allows appending to it
+        if (
+            os.path.isdir(self.desc_root)
+            and os.listdir(self.desc_root)
+            and not self.config.get("resume", False)
+        ):
+            raise FileExistsError(
+                f"extraction output {self.desc_root!r} already exists; "
+                "choose a new output_root or set resume: True"
+            )
         os.makedirs(self.desc_root, exist_ok=True)
         os.makedirs(self.img_root, exist_ok=True)
         dump_config(self.config, os.path.join(self.save_root, "config.yaml"))
@@ -144,7 +155,7 @@ class Extractor:
                 self.variables, im, jnp.asarray(pad)[None]
             )
             kpt = coords_np
-            desc = np.asarray(feat)[0, :n]
+            desc = np.asarray(feat[0, :n], np.float32)  # bf16 -> f32 contract
             kp_score = np.ones((n, 1), np.float32)
             return {"kpt": kpt, "desc": desc, "kp_score": kp_score}
 
@@ -160,10 +171,13 @@ class Extractor:
         # reference dynamic count: max(min(num_pts, valid), 128) (putils:249-261)
         num_pts = self.config[det_cfg_key]["num_pts"]
         n_emit = int(max(min(num_pts, int(valid[0])), 128))
+        # cast: under compute_dtype=bfloat16 the device arrays are bf16,
+        # which numpy can only represent as opaque void16 — the npz/h5
+        # feature-file contract (and every downstream consumer) is f32
         return {
-            "kpt": np.asarray(coords)[0, :n_emit],
-            "desc": np.asarray(feat)[0, :n_emit],
-            "kp_score": np.asarray(score)[0, :n_emit],
+            "kpt": np.asarray(coords[0, :n_emit], np.float32),
+            "desc": np.asarray(feat[0, :n_emit], np.float32),
+            "kp_score": np.asarray(score[0, :n_emit], np.float32),
         }
 
     # ----------------------------------------------------------- writers

@@ -77,9 +77,17 @@ class Trainer:
         self.metrics_path = os.path.join(self.save_root, "metrics.jsonl")
 
         # ----------------------------------------------------------- mesh
-        self.mesh = data_mesh()
+        # use the largest device count that divides the batch (the
+        # reference's DistributedSampler analog: batch must split evenly;
+        # a 2-image batch on an 8-device host just uses 2 devices)
+        bs = self.config["data_config_train"]["batch_size"]
+        devs = jax.devices()
+        n = len(devs)
+        while bs % n:
+            n -= 1
+        self.mesh = data_mesh(devs[:n])
         self.logger.info(
-            f"data-parallel mesh over {len(self.mesh.devices.ravel())} device(s)"
+            f"data-parallel mesh over {n} of {len(devs)} device(s)"
         )
 
         # ---------------------------------------------------------- model

@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize's register() sets jax_platforms="axon,cpu"
+# PROGRAMMATICALLY at interpreter start, which overrides the env var —
+# without this, every test would compile through the remote TPU relay
+# (minutes per program). Setting the config before any backend init wins.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
