@@ -103,9 +103,21 @@ def var_f(t):
     return z
 
 
+def var_h(t):
+    from posfeat_tpu.models.keypoint_det import (
+        _fix_border_ring,
+        phase_to_space,
+    )
+
+    z = fused_upsample_conv3x3_phase(t, kernel, 4)
+    out = phase_to_space(z)
+    return _fix_border_ring(out, t, kernel, 4).astype(t.dtype)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gaef"
     for nm, fn in [("G_dilated", var_g), ("A_physconv", var_a),
-                   ("E_matmuls", var_e), ("F_pad256", var_f)]:
+                   ("E_matmuls", var_e), ("F_pad256", var_f),
+                   ("H_phase_d2s_ring", var_h)]:
         if nm[0].lower() in which:
             scan_bench(nm, fn)
