@@ -481,6 +481,43 @@ class KeypointDet(nn.Module):
         B = img_tensor.shape[0]
         size_ok = H == 4 * h and W == 4 * w
         phase = self.fused_upsample == "phase" and size_ok
+        if self.fused_upsample == "pallas" and size_ok:
+            # fully fused Pallas tail (forward-only; extraction path).
+            # conv3 params use nn.Conv-compatible names/shapes so
+            # checkpoints are interchangeable with the XLA dataflows.
+            from ..ops.pallas.fused_head import fused_head_tail
+
+            z_img = jax.lax.conv_general_dilated(
+                img,
+                k2[:, :, self.in_channels :, :].astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(self.dtype)
+            k3, b3 = _Conv2Params(
+                (1, 1, 128, self.out_channels), name="conv3"
+            )()
+            score = fused_head_tail(
+                trunk,
+                z_img,
+                k2[:, :, : self.in_channels, :],
+                b2,
+                k3,
+                b3,
+                a,
+                act=self.act,
+                # Mosaic kernels need TPU; CPU (tests) runs interpreted
+                interpret=jax.default_backend() == "cpu",
+            )
+            score = (
+                interpolate_bilinear(
+                    x_pf, img_tensor.shape[1:3], align_corners=False
+                ).mean(axis=-1, keepdims=True)
+                * x_pi.mean(axis=-1, keepdims=True)
+                * score
+            )
+            return score
         if phase:
             # stay in H/4 phase layout [B, h, w, 4, 4, C] through the
             # whole tail — only the 1-2 channel score map ever pays a

@@ -33,7 +33,7 @@ def test_fused_upsample_conv_matches(rng):
 import pytest
 
 
-@pytest.mark.parametrize("mode", ["always", "phase"])
+@pytest.mark.parametrize("mode", ["always", "phase", "pallas"])
 def test_fused_head_full_model(rng, mode):
     """Full KeypointDet: fused (dilated-composite and phase-layout)
     dataflows vs the reference dataflow, same params."""

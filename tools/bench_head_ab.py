@@ -78,3 +78,10 @@ if __name__ == "__main__":
         from posfeat_tpu.models.keypoint_det import KeypointDet
 
         bench("new_phase", KeypointDet)
+    if "p" in which:
+        from posfeat_tpu.models.keypoint_det import KeypointDet
+
+        bench(
+            "pallas_fused",
+            lambda **kw: KeypointDet(**{**kw, "fused_upsample": "pallas"}),
+        )
