@@ -30,7 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,20 +98,15 @@ def _ring_strips(trunk, kernel, k: int = 4):
 
 
 def _conv_kernel(
-    # scalar prefetch: none; inputs per BlockSpec order
-    tp_hbm,  # [B, h+2, w+2, Cin]  (ANY/HBM; manual halo DMA)
-    kph_ref,  # [3, 3, Cin, KK*Cout] VMEM (grid-invariant)
+    tp_hbm,  # [B, h+2, w+8+..., Cin_p]  (ANY/HBM; double-buffered halo DMA)
+    kph_ref,  # [3, 3, Cin_p, KK*Cout] VMEM (grid-invariant)
     zimg_ref,  # [1, k*th, k*tw, Cout] VMEM block
     b2_ref,  # [1, KK*Cout] VMEM
-    t_ref,  # [1, k*tw, Cout] top strip block (by j)
-    bo_ref,  # [1, k*tw, Cout]
-    l_ref,  # [1, k*th, Cout] left strip block (by i)
-    r_ref,  # [1, k*th, Cout]
     z_ref,  # out: [1, th, tw, KK*Cout]
     ssum_ref,  # out: [1, 1, KK*Cout]  (flat tile index)
     ssq_ref,  # out: [1, 1, KK*Cout]
-    scratch_tp,  # VMEM [th+2, tw+2, Cin]
-    sem,
+    scratch_tp,  # VMEM [2, th+2, tw+8, Cin_p]  (double buffer)
+    sems,  # DMA semaphores [2]
     *,
     th: int,
     tw: int,
@@ -119,25 +114,49 @@ def _conv_kernel(
     cout: int,
     k: int,
 ):
+    """z = phase_conv(trunk) + z_img + b2 for one tile, plus IN partial
+    moments. The trunk halo window is DMA'd HBM->VMEM with two buffers:
+    each step starts the NEXT tile's copy before waiting on its own, so
+    the ~120 KB transfer hides behind the 9 MXU matmuls. Border ring
+    handling lives in XLA (thin-strip corrections in the driver)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    nty = pl.num_programs(1)
+    ntx = pl.num_programs(2)
     kk = k * k
+    tw_al = scratch_tp.shape[2]
 
-    # halo DMA: [th+2, tw+2, Cin] window at (b, i*th, j*tw)
-    dma = pltpu.make_async_copy(
-        tp_hbm.at[b, pl.ds(i * th, th + 2), pl.ds(j * tw, tw + 2), :],
-        scratch_tp,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    step = (b * nty + i) * ntx + j
+    total = pl.num_programs(0) * nty * ntx
+
+    def dma_for(s, slot):
+        bb = s // (nty * ntx)
+        rr = s % (nty * ntx)
+        ii = rr // ntx
+        jj = rr % ntx
+        return pltpu.make_async_copy(
+            tp_hbm.at[bb, pl.ds(ii * th, th + 2), pl.ds(jj * tw, tw_al), :],
+            scratch_tp.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        dma_for(step + 1, (step + 1) % 2).start()
+
+    dma_for(step, step % 2).wait()
+    tile = scratch_tp[step % 2]
 
     m = th * tw
     acc = jnp.zeros((m, kk * cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            blk = scratch_tp[dy : dy + th, dx : dx + tw, :].reshape(m, cin)
+            blk = tile[dy : dy + th, dx : dx + tw, :].reshape(m, cin)
             acc = acc + jax.lax.dot_general(
                 blk,
                 kph_ref[dy, dx],
@@ -149,48 +168,11 @@ def _conv_kernel(
     zi = zimg_ref[0].astype(jnp.float32)
     zi = zi.reshape(th, k, tw, k, cout).transpose(0, 2, 1, 3, 4)
     acc = acc + zi.reshape(m, kk * cout)
-
     acc = acc + b2_ref[0][None, :]
 
-    # border corrections: additive thin strips, masked to boundary tiles
-    # (jnp.where masks rather than in-place updates — `acc` is a value)
-    acc = acc.reshape(th, tw, kk * cout)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1)
-
-    t = t_ref[0].astype(jnp.float32).reshape(1, tw, k * cout)
-    corr_top = jnp.pad(t, ((0, 0), (0, 0), (0, (kk - k) * cout)))
-    corr_top = jnp.where((row_ids == 0) & (i == 0), corr_top, 0.0)
-
-    bo = bo_ref[0].astype(jnp.float32).reshape(1, tw, k * cout)
-    corr_bot = jnp.pad(bo, ((0, 0), (0, 0), ((kk - k) * cout, 0)))
-    corr_bot = jnp.where(
-        (row_ids == th - 1) & (i == pl.num_programs(1) - 1), corr_bot, 0.0
-    )
-
-    # left: (q_x=0, rx=0) -> channels ry*k*cout + [0:cout)
-    l_s = l_ref[0].astype(jnp.float32).reshape(th, k, cout)  # [th, ry, c]
-    l_full = jnp.zeros((th, 1, kk * cout), jnp.float32)
-    for ry_i in range(k):
-        l_full = l_full.at[:, 0, ry_i * k * cout : ry_i * k * cout + cout].set(
-            l_s[:, ry_i]
-        )
-    corr_left = jnp.where((col_ids == 0) & (j == 0), l_full, 0.0)
-
-    r_s = r_ref[0].astype(jnp.float32).reshape(th, k, cout)
-    r_full = jnp.zeros((th, 1, kk * cout), jnp.float32)
-    for ry_i in range(k):
-        off = ry_i * k * cout + (k - 1) * cout
-        r_full = r_full.at[:, 0, off : off + cout].set(r_s[:, ry_i])
-    corr_right = jnp.where(
-        (col_ids == tw - 1) & (j == pl.num_programs(2) - 1), r_full, 0.0
-    )
-
-    acc = acc - corr_top - corr_bot - corr_left - corr_right
-
-    z_ref[0] = acc.astype(z_ref.dtype)
-    ssum_ref[0, 0] = jnp.sum(acc, axis=(0, 1))
-    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=(0, 1))
+    z_ref[0] = acc.reshape(th, tw, kk * cout).astype(z_ref.dtype)
+    ssum_ref[0, 0] = jnp.sum(acc, axis=0)
+    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=0)
 
 
 # --------------------------------------------------------------- kernel 2
@@ -281,22 +263,28 @@ def fused_head_tail(
     tw = _pick_tile(w, 16)
     nty, ntx = h // th, w // tw
 
-    kph = _phase_kernel(k2_trunk, k).astype(dt)
+    # lane-align the contraction dim for the halo DMA (the MXU tiles K by
+    # 128 internally, so zero-padded channels cost nothing extra)
+    cin_p = ((cin + 127) // 128) * 128
+    kph = _phase_kernel(k2_trunk, k)
+    kph = jnp.pad(kph, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0))).astype(dt)
     T, Bo, L, R = _ring_strips(trunk, k2_trunk, k)
     b2ph = jnp.tile(b2.astype(jnp.float32), kk)[None, :]  # [1, kk*cout]
+    # edge pad (upsample clamp) + zero overhang for the aligned halo DMA
     tp = jnp.pad(trunk, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 6), (0, cin_p - cin)))
 
     grid = (B, nty, ntx)
     kernel1 = functools.partial(
-        _conv_kernel, th=th, tw=tw, cin=cin, cout=cout, k=k
+        _conv_kernel, th=th, tw=tw, cin=cin_p, cout=cout, k=k
     )
     z, ssum, ssq = pl.pallas_call(
         kernel1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # tp (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # tp (manual halo DMA)
             pl.BlockSpec(
-                (3, 3, cin, kk * cout),
+                (3, 3, cin_p, kk * cout),
                 lambda b, i, j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -307,22 +295,6 @@ def fused_head_tail(
             ),
             pl.BlockSpec(
                 (1, kk * cout), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, k * tw, cout), lambda b, i, j: (b, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, k * tw, cout), lambda b, i, j: (b, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, k * th, cout), lambda b, i, j: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, k * th, cout), lambda b, i, j: (b, i, 0),
-                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
@@ -348,17 +320,62 @@ def fused_head_tail(
             jax.ShapeDtypeStruct((B * nty * ntx, 1, kk * cout), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th + 2, tw + 2, cin), dt),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(tp, kph, z_img, b2ph, T.astype(dt), Bo.astype(dt), L.astype(dt), R.astype(dt))
+    )(tp, kph, z_img, b2ph)
 
-    # IN1 statistics: pool tile partials over tiles AND phases -> per
-    # (b, c) moments, broadcast back to phase channels
+    # ---- thin-strip border corrections (XLA; O(perimeter) work) ----
+    # kernel z carries the clamped-composite values; the reference
+    # zero-pads the upsampled map, differing on the outermost full-res
+    # ring by the strips T/Bo/L/R. Compute the exact ring values, correct
+    # the IN1 statistics analytically, and later rewrite u's ring — conv3
+    # is 1x1, so interior pixels are untouched by ring errors.
+    Hf, Wf = k * h, k * w
+    f32 = jnp.float32
+
+    z_top_raw = z[:, 0, :, : k * cout].astype(f32).reshape(B, Wf, cout)
+    z_bot_raw = (
+        z[:, h - 1, :, (kk - k) * cout :].astype(f32).reshape(B, Wf, cout)
+    )
+    z_l_raw = (
+        z[:, :, 0, :].astype(f32).reshape(B, h, kk, cout)[:, :, ::k, :]
+    ).reshape(B, Hf, cout)
+    z_r_raw = (
+        z[:, :, w - 1, :].astype(f32).reshape(B, h, kk, cout)[:, :, k - 1 :: k, :]
+    ).reshape(B, Hf, cout)
+
+    # corner-inclusive top/bottom corrections (corners belong to the
+    # row strips; column strips are applied first and then overwritten)
+    D_top = T.at[:, 0].add(L[:, 0]).at[:, -1].add(R[:, 0])
+    D_bot = Bo.at[:, 0].add(L[:, -1]).at[:, -1].add(R[:, -1])
+
+    e_left = z_l_raw - L  # full column (corner rows provisional)
+    e_right = z_r_raw - R
+    e_top = z_top_raw - D_top
+    e_bot = z_bot_raw - D_bot
+
+    # IN1 statistics: pool tile partials over tiles AND phases, then add
+    # the ring deltas (disjoint accounting: full rows + interior columns)
     n_px = h * w * kk
     s1 = ssum.reshape(B, nty * ntx, kk, cout).sum(axis=(1, 2))  # [B, cout]
     s2 = ssq.reshape(B, nty * ntx, kk, cout).sum(axis=(1, 2))
+
+    def _delta(e, zr):
+        return (e - zr).sum(axis=1), (e * e - zr * zr).sum(axis=1)
+
+    d1, d2 = _delta(e_top, z_top_raw)
+    for e_, zr_ in (
+        (e_bot, z_bot_raw),
+        (e_left[:, 1:-1], z_l_raw[:, 1:-1]),
+        (e_right[:, 1:-1], z_r_raw[:, 1:-1]),
+    ):
+        a_, b_ = _delta(e_, zr_)
+        d1 = d1 + a_
+        d2 = d2 + b_
+    s1 = s1 + d1
+    s2 = s2 + d2
     mu = s1 / n_px
     var = jnp.maximum(s2 / n_px - mu * mu, 0.0)
     sc = jax.lax.rsqrt(var + eps)
@@ -426,13 +443,63 @@ def fused_head_tail(
         interpret=interpret,
     )(z, mu_ph, sc_ph, a_smem, w3p, b3p)
 
-    # IN2 + act in XLA (u is tiny: kk*op channels at h x w)
+    # ---- ring rewrite on u (conv3 is 1x1: ring errors never spread) ----
+    a_val = prelu_a.astype(f32)[0]
+    w3f = w3.reshape(cout, out_ch).astype(f32)
+    b3f = b3.astype(f32)
+
+    def tail_plane(e):
+        x1 = (e - mu[:, None, :]) * sc[:, None, :]
+        x1 = jnp.where(x1 >= 0, x1, a_val * x1)
+        return (
+            jnp.einsum("bpc,cf->bpf", x1, w3f,
+                       precision=jax.lax.Precision.HIGHEST)
+            + b3f[None, None, :]
+        )
+
+    u_top_e = tail_plane(e_top)  # [B, Wf, out]
+    u_bot_e = tail_plane(e_bot)
+    u_left_e = tail_plane(e_left)  # [B, Hf, out]
+    u_right_e = tail_plane(e_right)
+
+    ko = k * out_ch
+    u_top_raw = u[:, 0, :, :ko].reshape(B, Wf, out_ch)
+    u_bot_raw = u[:, h - 1, :, (kk - k) * out_ch :].reshape(B, Wf, out_ch)
+    u_l_raw = (
+        u[:, :, 0, :].reshape(B, h, kk, out_ch)[:, :, ::k, :]
+    ).reshape(B, Hf, out_ch)
+    u_r_raw = (
+        u[:, :, w - 1, :].reshape(B, h, kk, out_ch)[:, :, k - 1 :: k, :]
+    ).reshape(B, Hf, out_ch)
+
+    # IN2 statistics with ring deltas (same disjoint accounting)
     n2 = h * w * kk
     us = usum.reshape(B, nty * ntx, op).sum(axis=1)[:, :out_ch]  # [B, out]
     uq = usq.reshape(B, nty * ntx, op).sum(axis=1)[:, :out_ch]
+    du1, du2 = _delta(u_top_e, u_top_raw)
+    for e_, zr_ in (
+        (u_bot_e, u_bot_raw),
+        (u_left_e[:, 1:-1], u_l_raw[:, 1:-1]),
+        (u_right_e[:, 1:-1], u_r_raw[:, 1:-1]),
+    ):
+        a_, b_ = _delta(e_, zr_)
+        du1 = du1 + a_
+        du2 = du2 + b_
+    us = us + du1
+    uq = uq + du2
     mu2 = us / n2
     var2 = jnp.maximum(uq / n2 - mu2 * mu2, 0.0)
     sc2 = jax.lax.rsqrt(var2 + eps)
+
+    # overwrite the ring (columns first; rows then own the corners)
+    ul = u[:, :, 0, :].reshape(B, h, kk, out_ch)
+    ul = ul.at[:, :, ::k, :].set(u_left_e.reshape(B, h, k, out_ch))
+    u = u.at[:, :, 0, :].set(ul.reshape(B, h, kk * out_ch))
+    ur = u[:, :, w - 1, :].reshape(B, h, kk, out_ch)
+    ur = ur.at[:, :, k - 1 :: k, :].set(u_right_e.reshape(B, h, k, out_ch))
+    u = u.at[:, :, w - 1, :].set(ur.reshape(B, h, kk * out_ch))
+    u = u.at[:, 0, :, :ko].set(u_top_e.reshape(B, w, ko))
+    u = u.at[:, h - 1, :, (kk - k) * out_ch :].set(u_bot_e.reshape(B, w, ko))
 
     u = u.reshape(B, h, w, kk, out_ch)
     xn = (u - mu2[:, None, None, None, :]) * sc2[:, None, None, None, :]
