@@ -58,10 +58,17 @@ def build_extract(model, num_pts=8192):
 
 
 def bench_extraction(batch_size: int, dtype, n_scan: int = 8):
+    import copy
+    import os
+
     from __graft_entry__ import FLAGSHIP_MODEL_CONFIG
     from posfeat_tpu.models import PoSFeat
 
-    model = PoSFeat(FLAGSHIP_MODEL_CONFIG, dtype=dtype)
+    cfg = copy.deepcopy(FLAGSHIP_MODEL_CONFIG)
+    head_mode = os.environ.get("POSFEAT_BENCH_HEAD")
+    if head_mode:  # e.g. POSFEAT_BENCH_HEAD=pallas
+        cfg["localheader_config"]["fused_upsample"] = head_mode
+    model = PoSFeat(cfg, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), im_shape=(1, 64, 64, 3))
     extract = build_extract(model)
 

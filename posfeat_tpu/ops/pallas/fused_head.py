@@ -231,7 +231,7 @@ def _pick_tile(n: int, pref: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "k", "interpret"),
+    static_argnames=("act", "k", "interpret", "debug_intermediates"),
 )
 def fused_head_tail(
     trunk: jnp.ndarray,  # [B, h, w, Cin] (post conv1+IN+PReLU)
@@ -245,6 +245,7 @@ def fused_head_tail(
     k: int = 4,
     eps: float = 1e-5,
     interpret: bool = False,
+    debug_intermediates: bool = False,
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
@@ -258,6 +259,19 @@ def fused_head_tail(
     out_ch = w3.shape[-1]
     kk = k * k
     dt = trunk.dtype
+
+    # Force canonical (row-major) layouts on the tensors that feed the
+    # Mosaic kernels. Embedded in a larger XLA program, conv outputs can
+    # arrive in conv-preferred layouts, which silently corrupts the
+    # custom-call operands (observed on v5e: jitted-model scores diverged
+    # while the identical standalone program was exact).
+    if not interpret:
+        from jax.experimental.layout import Layout, with_layout_constraint
+
+        canon4 = Layout((0, 1, 2, 3))
+        trunk, z_img = with_layout_constraint(
+            (trunk, z_img), (canon4, canon4)
+        )
 
     th = _pick_tile(h, 8)
     tw = _pick_tile(w, 16)
@@ -512,4 +526,10 @@ def fused_head_tail(
     # phase -> space on the tiny score map
     s = s.reshape(B, h, w, k, k, out_ch)
     s = s.transpose(0, 1, 3, 2, 4, 5).reshape(B, h * k, w * k, out_ch)
+    if debug_intermediates:
+        return s.astype(dt), {
+            "z": z, "ssum": ssum, "mu": mu, "sc": sc, "d1": d1,
+            "u": u, "mu2": mu2, "sc2": sc2, "us": us,
+            "e_top": e_top, "u_top_e": u_top_e,
+        }
     return s.astype(dt)
