@@ -65,9 +65,15 @@ def bench_extraction(batch_size: int, dtype, n_scan: int = 8):
     from posfeat_tpu.models import PoSFeat
 
     cfg = copy.deepcopy(FLAGSHIP_MODEL_CONFIG)
-    head_mode = os.environ.get("POSFEAT_BENCH_HEAD")
-    if head_mode:  # e.g. POSFEAT_BENCH_HEAD=pallas
-        cfg["localheader_config"]["fused_upsample"] = head_mode
+    # default: the fused Pallas head for bf16 (fastest, forward-only);
+    # override with POSFEAT_BENCH_HEAD=always|phase|false
+    head_mode = os.environ.get(
+        "POSFEAT_BENCH_HEAD", "pallas" if dtype == jnp.bfloat16 else ""
+    )
+    if head_mode:
+        cfg["localheader_config"]["fused_upsample"] = (
+            False if head_mode == "false" else head_mode
+        )
     model = PoSFeat(cfg, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), im_shape=(1, 64, 64, 3))
     extract = build_extract(model)

@@ -72,6 +72,17 @@ class Extractor:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             self.config.get("compute_dtype", "float32")
         ]
+        # extraction is forward-only, so bf16 runs default to the fused
+        # Pallas head (fastest); head_dataflow overrides explicitly
+        head_mode = self.config.get("head_dataflow")
+        lh_cfg = (self.config.get("model_config") or {}).get(
+            "localheader_config"
+        )
+        if isinstance(lh_cfg, dict):
+            if head_mode is not None:
+                lh_cfg["fused_upsample"] = head_mode
+            elif dtype == jnp.bfloat16 and "fused_upsample" not in lh_cfg:
+                lh_cfg["fused_upsample"] = "pallas"
         model_name = self.config.get("model", "PoSFeat")
         self.model = MODELS[model_name](self.config["model_config"], dtype=dtype)
         self.variables = self.model.init(jax.random.PRNGKey(0))

@@ -273,9 +273,16 @@ def fused_head_tail(
             (trunk, z_img), (canon4, canon4)
         )
 
-    th = _pick_tile(h, 8)
-    tw = _pick_tile(w, 16)
+    import os
+
+    _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,16").split(",")
+    _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,16").split(",")
+    th = _pick_tile(h, int(_t1[0]))
+    tw = _pick_tile(w, int(_t1[1]))
     nty, ntx = h // th, w // tw
+    th2 = _pick_tile(h, int(_t2[0]))
+    tw2 = _pick_tile(w, int(_t2[1]))
+    nty2, ntx2 = h // th2, w // tw2
 
     # lane-align the contraction dim for the halo DMA (the MXU tiles K by
     # 128 internally, so zero-padded channels cost nothing extra)
@@ -405,14 +412,15 @@ def fused_head_tail(
     a_smem = prelu_a.reshape(1, 1).astype(jnp.float32)
 
     kernel2 = functools.partial(
-        _tail_kernel, th=th, tw=tw, cout=cout, op=op, out_ch=out_ch, kk=kk
+        _tail_kernel, th=th2, tw=tw2, cout=cout, op=op, out_ch=out_ch, kk=kk
     )
+    grid2 = (B, nty2, ntx2)
     u, usum, usq = pl.pallas_call(
         kernel2,
-        grid=grid,
+        grid=grid2,
         in_specs=[
             pl.BlockSpec(
-                (1, th, tw, kk * cout),
+                (1, th2, tw2, kk * cout),
                 lambda b, i, j: (b, i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -434,25 +442,25 @@ def fused_head_tail(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, th, tw, kk * out_ch),
+                (1, th2, tw2, kk * out_ch),
                 lambda b, i, j: (b, i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, op),
-                lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                lambda b, i, j: ((b * nty2 + i) * ntx2 + j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, op),
-                lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                lambda b, i, j: ((b * nty2 + i) * ntx2 + j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, h, w, kk * out_ch), jnp.float32),
-            jax.ShapeDtypeStruct((B * nty * ntx, 1, op), jnp.float32),
-            jax.ShapeDtypeStruct((B * nty * ntx, 1, op), jnp.float32),
+            jax.ShapeDtypeStruct((B * nty2 * ntx2, 1, op), jnp.float32),
+            jax.ShapeDtypeStruct((B * nty2 * ntx2, 1, op), jnp.float32),
         ],
         interpret=interpret,
     )(z, mu_ph, sc_ph, a_smem, w3p, b3p)
@@ -488,8 +496,8 @@ def fused_head_tail(
 
     # IN2 statistics with ring deltas (same disjoint accounting)
     n2 = h * w * kk
-    us = usum.reshape(B, nty * ntx, op).sum(axis=1)[:, :out_ch]  # [B, out]
-    uq = usq.reshape(B, nty * ntx, op).sum(axis=1)[:, :out_ch]
+    us = usum.reshape(B, nty2 * ntx2, op).sum(axis=1)[:, :out_ch]  # [B, out]
+    uq = usq.reshape(B, nty2 * ntx2, op).sum(axis=1)[:, :out_ch]
     du1, du2 = _delta(u_top_e, u_top_raw)
     for e_, zr_ in (
         (u_bot_e, u_bot_raw),
