@@ -275,8 +275,8 @@ def fused_head_tail(
 
     import os
 
-    _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,16").split(",")
-    _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,16").split(",")
+    _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,32").split(",")
+    _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,32").split(",")
     th = _pick_tile(h, int(_t1[0]))
     tw = _pick_tile(w, int(_t1[1]))
     nty, ntx = h // th, w // tw
