@@ -35,6 +35,13 @@ class _SingleImageDataset:
     def __init__(self, configs: Dict):
         self.configs = configs
         self.imfs = self._glob_images(configs)
+        # multi-host extraction: shard the image list (the reference's
+        # DistributedSampler analog, extractor.py:95-98 / SURVEY §5) —
+        # host i of n processes images i, i+n, i+2n, ...
+        n_shards = int(configs.get("num_shards", 1))
+        shard = int(configs.get("shard_index", 0))
+        if n_shards > 1:
+            self.imfs = self.imfs[shard::n_shards]
 
     def _glob_images(self, configs):  # pragma: no cover - overridden
         raise NotImplementedError

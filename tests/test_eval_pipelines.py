@@ -143,3 +143,28 @@ def test_hpatches_plot_and_table(tmp_path, rng):
     out = str(tmp_path / "curves.pdf")
     hp.plot_mma_curves(methods, out)
     assert os.path.exists(out) and os.path.exists(str(tmp_path / "curves.png"))
+
+
+def test_extraction_dataset_sharding(tmp_path, rng):
+    """Image-list sharding covers every image exactly once across shards."""
+    import cv2
+
+    from posfeat_tpu.data.extraction import HPatch_SIFT
+
+    root = tmp_path / "hp"
+    for si in range(2):
+        seq = root / f"i_fake{si}"
+        seq.mkdir(parents=True)
+        for ii in range(1, 4):
+            im = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(seq / f"{ii}.ppm"), im)
+
+    full = HPatch_SIFT(configs={"data_path": str(root)})
+    names = sorted(d["name1"] for d in full)
+    sharded = []
+    for s in range(3):
+        ds = HPatch_SIFT(
+            configs={"data_path": str(root), "num_shards": 3, "shard_index": s}
+        )
+        sharded.extend(d["name1"] for d in ds)
+    assert sorted(sharded) == names and len(names) == 6
