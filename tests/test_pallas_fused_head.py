@@ -61,3 +61,75 @@ def test_fused_head_tail_odd_tiles(rng):
         )
     )
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_extractor_bf16_autoselects_pallas(tmp_path, rng):
+    """bf16 extraction defaults to the fused Pallas head and produces the
+    same keypoints as the f32 reference dataflow (tiny synthetic image)."""
+    import cv2
+
+    from posfeat_tpu.extract import Extractor
+
+    root = tmp_path / "hp" / "i_x"
+    root.mkdir(parents=True)
+    from posfeat_tpu.data.synthetic import _texture
+
+    im = _texture(rng, 96, 128)
+    cv2.imwrite(str(root / "1.ppm"), cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
+
+    model_cfg = {
+        "backbone": "ResUNet",
+        "backbone_config": {
+            "encoder": "resnet18",
+            "pretrained": False,
+            "coarse_out_ch": 32,
+            "fine_out_ch": 32,
+        },
+        "localheader": "KeypointDet",
+        "localheader_config": {
+            "in_channels": 96,
+            "prior": "identity",
+            "act": "Softplus",
+        },
+        "align_local_grad": False,
+        "local_input_elements": ["local_map", "local_map_small"],
+        "local_with_img": True,
+    }
+
+    def run(tag, dtype):
+        cfg = {
+            "output_root": f"ex_{tag}",
+            "postfix": "pf",
+            "loss_distance": "cos",
+            "output_desc": True,
+            "output_img": False,
+            "compute_dtype": dtype,
+            "model": "PoSFeat",
+            "model_config": __import__("copy").deepcopy(model_cfg),
+            "data": "HPatch_SIFT",
+            "data_config_extract": {"data_path": str(tmp_path / "hp")},
+            "use_sift": False,
+            "local_thr": 0.9,
+            "detector": "generate_kpts_single",
+            "detector_config": {"num_pts": 128, "nms_radius": 1, "use_nms": True},
+        }
+        ex = Extractor(cfg, ckpt_root=str(tmp_path / "ck"))
+        assert (
+            ex.config["model_config"]["localheader_config"].get("fused_upsample")
+            == ("pallas" if dtype == "bfloat16" else None)
+        )
+        ex.extract()
+        d = np.load(
+            str(tmp_path / "ck" / f"ex_{tag}" / "desc" / "i_x" / "1.ppm.pf")
+        )
+        return d["keypoints"], d["scores"]
+
+    kp32, sc32 = run("f32", "float32")
+    kp16, sc16 = run("bf16", "bfloat16")
+    assert kp16.dtype == np.float32 and np.isfinite(kp16).all()
+    assert len(kp16) == len(kp32) == 128
+    # random-init score maps are near-uniform noise, so top-k ordering is
+    # rounding-sensitive; require set-level overlap, not slot equality
+    d = np.linalg.norm(kp32[:, None, :] - kp16[None, :, :], axis=-1)
+    overlap = (d.min(axis=1) < 2.0).mean()
+    assert overlap > 0.5, overlap
