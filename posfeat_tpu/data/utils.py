@@ -142,6 +142,8 @@ def rotate_image(image: np.ndarray, angle: float):
     import cv2
 
     h, w = image.shape[:2]
+    if abs(angle) % 180.0 < 1e-9:  # identity rotation: reference formula
+        return image.copy(), np.eye(4)  # divides by tan(0) (bug fixed here)
     rad = np.abs(angle / 180.0 * np.pi)
     cos, sin, tan = np.cos(rad), np.sin(rad), np.tan(rad)
     scale_h = (h / cos + (w - h * tan) * sin) / h
@@ -204,12 +206,11 @@ def tensor2array(arr: np.ndarray, max_value=None, colormap: str = "coolwarm"):
     if max_value is None:
         max_value = float(arr.max()) if arr.size else 1.0
     if arr.ndim == 2:
-        import matplotlib.cm as cm
+        import matplotlib
 
         norm = np.clip(arr / max(max_value, 1e-12), 0, 1)
-        return cm.get_cmap(colormap)(norm).transpose(2, 0, 1)[:3].astype(
-            np.float32
-        )
+        cmap = matplotlib.colormaps[colormap]
+        return cmap(norm).transpose(2, 0, 1)[:3].astype(np.float32)
     if arr.ndim == 3 and arr.shape[0] == 3:  # CHW image
         return ((arr + 1.0) / 2.0).astype(np.float32)
     if arr.ndim == 3 and arr.shape[2] == 3:  # HWC image

@@ -42,7 +42,11 @@ class Extractor:
         enable_compilation_cache()
         if isinstance(config, str):
             config = load_config(config)
-        self.config = merge_from_checkpoint(config)
+        import copy
+
+        # deep copy: the head auto-selection below must not leak into the
+        # caller's dict
+        self.config = copy.deepcopy(merge_from_checkpoint(config))
 
         self.save_root = os.path.join(ckpt_root, self.config["output_root"])
         self.desc_root = os.path.join(self.save_root, "desc")
@@ -50,11 +54,37 @@ class Extractor:
         self.sift_kp = self.config["use_sift"]
         self.save_npz = self.config.get("save_npz", True)
         self.save_h5 = self.config.get("save_h5", False)
+        dcfg = self.config["data_config_extract"]
+        self.num_shards = int(dcfg.get("num_shards", 1))
+        self.shard_index = int(dcfg.get("shard_index", 0))
+
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.config.get("compute_dtype", "float32")
+        ]
+        # extraction is forward-only, so bf16 runs on TPU default to the
+        # fused Pallas head (fastest); head_dataflow overrides explicitly.
+        # Resolved BEFORE the config.yaml dump so the persisted run config
+        # records the effective dataflow.
+        head_mode = self.config.get("head_dataflow")
+        lh_cfg = (self.config.get("model_config") or {}).get(
+            "localheader_config"
+        )
+        if isinstance(lh_cfg, dict):
+            if head_mode is not None:
+                lh_cfg["fused_upsample"] = head_mode
+            elif (
+                dtype == jnp.bfloat16
+                and "fused_upsample" not in lh_cfg
+                and jax.default_backend() == "tpu"  # Mosaic kernels
+            ):
+                lh_cfg["fused_upsample"] = "pallas"
 
         # fail fast on an existing run dir (reference extractor.py:133-140)
-        # unless resume: True explicitly allows appending to it
+        # unless resume: True allows appending. Multi-shard runs share one
+        # output_root by design, so the check is single-shard only.
         if (
-            os.path.isdir(self.desc_root)
+            self.num_shards == 1
+            and os.path.isdir(self.desc_root)
             and os.listdir(self.desc_root)
             and not self.config.get("resume", False)
         ):
@@ -68,21 +98,6 @@ class Extractor:
         self.logger = make_logger(
             "extractor", os.path.join(self.save_root, "logging_file.txt")
         )
-
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-            self.config.get("compute_dtype", "float32")
-        ]
-        # extraction is forward-only, so bf16 runs default to the fused
-        # Pallas head (fastest); head_dataflow overrides explicitly
-        head_mode = self.config.get("head_dataflow")
-        lh_cfg = (self.config.get("model_config") or {}).get(
-            "localheader_config"
-        )
-        if isinstance(lh_cfg, dict):
-            if head_mode is not None:
-                lh_cfg["fused_upsample"] = head_mode
-            elif dtype == jnp.bfloat16 and "fused_upsample" not in lh_cfg:
-                lh_cfg["fused_upsample"] = "pallas"
         model_name = self.config.get("model", "PoSFeat")
         self.model = MODELS[model_name](self.config["model_config"], dtype=dtype)
         self.variables = self.model.init(jax.random.PRNGKey(0))
@@ -283,7 +298,14 @@ class Extractor:
             self.logger.info(message)
             name_list += "{} {}\n".format(idx, inputs["name1"])
             n_images += 1
-        with open(os.path.join(self.img_root, "name_list.txt"), "w") as f:
+        # sharded runs write per-shard lists so hosts don't clobber each
+        # other; single-shard keeps the reference's name_list.txt
+        fname = (
+            "name_list.txt"
+            if self.num_shards == 1
+            else f"name_list.shard{self.shard_index}.txt"
+        )
+        with open(os.path.join(self.img_root, fname), "w") as f:
             f.write(name_list)
         dt = time.time() - t0
         self.logger.info(

@@ -296,20 +296,19 @@ def fused_upsample_conv3x3(
     return phase_to_space(z).astype(trunk.dtype)
 
 
-def _fix_border_ring_phase(z, trunk, kernel, k):
-    """Subtract the composite-vs-reference discrepancy from the outermost
-    output ring of a phase-layout tensor [B, h, w, k, k, Cout].
+def ring_correction_strips(trunk, kernel, k: int = 4):
+    """Additive border-correction strips for the phase-conv composite.
 
     The composite conv sees clamped upsample values where the reference
-    conv2 zero-pads the upsampled map, so z differs from the reference
-    exactly by the padded-tap contributions: on the top output row the
-    excess is conv1d(Ux[-1,·], K[0]) (Ux[-1,·] = edge strip, since every
-    out-of-range bilinear tap clamps), and analogously for the other
-    three edges; each corner term is counted by both adjacent edges, so
-    it is removed once from the row strips. The correction is applied as
-    ADDITION of zero-padded thin strips — no dynamic-update-slice, so
-    XLA fuses it into the downstream instance-norm pass instead of
-    copying the ~GB phase tensor four times."""
+    conv2 zero-pads the upsampled map, so the composite output differs
+    from the reference exactly by the padded-tap contributions: on the
+    top output row the excess is conv1d(Ux[-1,·], K[0]) (Ux[-1,·] = edge
+    strip, since every out-of-range bilinear tap clamps), and analogously
+    for the other three edges; each corner term is counted by both
+    adjacent edges, so it is removed once from the row strips. Returns
+    f32 (T, Bo) [B, k·w, Cout] and (L, R) [B, k·h, Cout]. Single source
+    of truth — the Pallas driver imports this.
+    """
     assert k == 4, "exact border fix derived for the head's x4 case"
     from ..ops.resize import _upsample_axis_int
 
@@ -348,7 +347,16 @@ def _fix_border_ring_phase(z, trunk, kernel, k):
     chw = jnp.einsum("bc,cf->bf", trunk[:, h - 1, w - 1].astype(f32), K[2, 2], precision=prec)
     T = T.at[:, 0].add(-c00).at[:, -1].add(-c0w)
     Bo = Bo.at[:, 0].add(-ch0).at[:, -1].add(-chw)
+    return T, Bo, L, R
 
+
+def _fix_border_ring_phase(z, trunk, kernel, k):
+    """Apply ring_correction_strips to a phase-layout tensor
+    [B, h, w, k, k, Cout] as ADDITION of zero-padded thin strips — no
+    dynamic-update-slice, so XLA fuses it into the downstream
+    instance-norm pass instead of copying the ~GB phase tensor."""
+    T, Bo, L, R = ring_correction_strips(trunk, kernel, k)
+    B, h, w, Cin = trunk.shape
     C = z.shape[-1]
 
     def pad_row(strip, q_pos, r_pos):
@@ -481,13 +489,11 @@ class KeypointDet(nn.Module):
         B = img_tensor.shape[0]
         size_ok = H == 4 * h and W == 4 * w
         phase = self.fused_upsample == "phase" and size_ok
-        if self.fused_upsample == "pallas" and size_ok:
-            # fully fused Pallas tail (forward-only; extraction path).
-            # conv3 params use nn.Conv-compatible names/shapes so
-            # checkpoints are interchangeable with the XLA dataflows.
-            from ..ops.pallas.fused_head import fused_head_tail
+        pallas_mode = self.fused_upsample == "pallas" and size_ok
 
-            z_img = jax.lax.conv_general_dilated(
+        def conv2_img_part():
+            # image-branch half of conv2 (shared by all fused dataflows)
+            return jax.lax.conv_general_dilated(
                 img,
                 k2[:, :, self.in_channels :, :].astype(self.dtype),
                 window_strides=(1, 1),
@@ -495,30 +501,29 @@ class KeypointDet(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(self.dtype)
+
+        if pallas_mode:
+            # fully fused Pallas tail (forward-only; extraction path).
+            # conv3 params use nn.Conv-compatible names/shapes so
+            # checkpoints are interchangeable with the XLA dataflows.
+            from ..ops.pallas.fused_head import fused_head_tail
+
             k3, b3 = _Conv2Params(
                 (1, 1, 128, self.out_channels), name="conv3"
             )()
             score = fused_head_tail(
                 trunk,
-                z_img,
+                conv2_img_part(),
                 k2[:, :, : self.in_channels, :],
                 b2,
                 k3,
                 b3,
                 a,
                 act=self.act,
-                # Mosaic kernels need TPU; CPU (tests) runs interpreted
-                interpret=jax.default_backend() == "cpu",
+                # Mosaic kernels are TPU-only; elsewhere run interpreted
+                interpret=jax.default_backend() != "tpu",
             )
-            score = (
-                interpolate_bilinear(
-                    x_pf, img_tensor.shape[1:3], align_corners=False
-                ).mean(axis=-1, keepdims=True)
-                * x_pi.mean(axis=-1, keepdims=True)
-                * score
-            )
-            return score
-        if phase:
+        elif phase:
             # stay in H/4 phase layout [B, h, w, 4, 4, C] through the
             # whole tail — only the 1-2 channel score map ever pays a
             # depth-to-space; numerically identical to the reference
@@ -527,30 +532,16 @@ class KeypointDet(nn.Module):
             kt = k2[:, :, : self.in_channels, :]
             z = fused_upsample_conv3x3_phase(trunk, kt, 4)
             z = _fix_border_ring_phase(z, trunk, kt, 4)
-            z_img = jax.lax.conv_general_dilated(
-                img,
-                k2[:, :, self.in_channels :, :].astype(self.dtype),
-                window_strides=(1, 1),
-                padding=[(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(self.dtype)
-            z = z + space_to_phase(z_img, 4) + b2.astype(self.dtype)
+            z = z + space_to_phase(conv2_img_part(), 4) + b2.astype(self.dtype)
             x = prelu(instance_norm(z, axes=(1, 2, 3, 4)))
             x = x.reshape(B, h, w * 16, x.shape[-1])
         elif fuse_ok and size_ok:
             z = fused_upsample_conv3x3_dilated(
                 trunk, k2[:, :, : self.in_channels, :], 4
             )
-            z_img = jax.lax.conv_general_dilated(
-                img,
-                k2[:, :, self.in_channels :, :].astype(self.dtype),
-                window_strides=(1, 1),
-                padding=[(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(self.dtype)
-            x = prelu(instance_norm(z + z_img + b2.astype(self.dtype)))
+            x = prelu(
+                instance_norm(z + conv2_img_part() + b2.astype(self.dtype))
+            )
         else:
             xu = interpolate_bilinear(trunk, (H, W), align_corners=False)
             xcat = jnp.concatenate([xu, img], axis=-1)
@@ -563,11 +554,14 @@ class KeypointDet(nn.Module):
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(self.dtype) + b2.astype(self.dtype)
             x = prelu(instance_norm(x))
-        score = self._act(instance_norm(conv(self.out_channels, 1, "conv3")(x)))
-        if phase:
-            score = phase_to_space(
-                score.reshape(B, h, w, 4, 4, self.out_channels)
+        if not pallas_mode:
+            score = self._act(
+                instance_norm(conv(self.out_channels, 1, "conv3")(x))
             )
+            if phase:
+                score = phase_to_space(
+                    score.reshape(B, h, w, 4, 4, self.out_channels)
+                )
 
         score = (
             interpolate_bilinear(

@@ -56,42 +56,12 @@ def _phase_kernel(k2_trunk: jnp.ndarray, k: int = 4) -> jnp.ndarray:
 
 
 def _ring_strips(trunk, kernel, k: int = 4):
-    """Additive border corrections as four thin strips (f32):
-    T/Bo: [B, k*w, Cout] (corner double-counts removed), L/R: [B, k*h, Cout].
-    Same math as keypoint_det._fix_border_ring_phase."""
-    from ...ops.resize import _upsample_axis_int
+    """Additive border-correction strips — canonical implementation lives
+    in models.keypoint_det.ring_correction_strips (single source of
+    truth for the 'phase' and 'pallas' dataflows)."""
+    from ...models.keypoint_det import ring_correction_strips
 
-    B, h, w, Cin = trunk.shape
-    K = kernel.astype(jnp.float32)
-    f32 = jnp.float32
-    top_src = _upsample_axis_int(trunk[:, 0:1, :, :].astype(f32), k, 2)[:, 0]
-    bot_src = _upsample_axis_int(trunk[:, h - 1 : h, :, :].astype(f32), k, 2)[:, 0]
-    left_src = _upsample_axis_int(trunk[:, :, 0:1, :].astype(f32), k, 1)[:, :, 0]
-    right_src = _upsample_axis_int(trunk[:, :, w - 1 : w, :].astype(f32), k, 1)[:, :, 0]
-
-    def conv1d_edge(strip, k1d):
-        sp = jnp.pad(strip, ((0, 0), (1, 1), (0, 0)), mode="edge")
-        return jax.lax.conv_general_dilated(
-            sp[:, :, None, :],
-            k1d[:, None, :, :],
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, :, 0, :]
-
-    T = conv1d_edge(top_src, K[0])
-    Bo = conv1d_edge(bot_src, K[2])
-    L = conv1d_edge(left_src, K[:, 0])
-    R = conv1d_edge(right_src, K[:, 2])
-    prec = jax.lax.Precision.HIGHEST
-    c00 = jnp.einsum("bc,cf->bf", trunk[:, 0, 0].astype(f32), K[0, 0], precision=prec)
-    c0w = jnp.einsum("bc,cf->bf", trunk[:, 0, w - 1].astype(f32), K[0, 2], precision=prec)
-    ch0 = jnp.einsum("bc,cf->bf", trunk[:, h - 1, 0].astype(f32), K[2, 0], precision=prec)
-    chw = jnp.einsum("bc,cf->bf", trunk[:, h - 1, w - 1].astype(f32), K[2, 2], precision=prec)
-    T = T.at[:, 0].add(-c00).at[:, -1].add(-c0w)
-    Bo = Bo.at[:, 0].add(-ch0).at[:, -1].add(-chw)
-    return T, Bo, L, R
+    return ring_correction_strips(trunk, kernel, k)
 
 
 # --------------------------------------------------------------- kernel 1
@@ -229,11 +199,40 @@ def _pick_tile(n: int, pref: int) -> int:
     return 1
 
 
+def fused_head_tail(
+    trunk,
+    z_img,
+    k2_trunk,
+    b2,
+    w3,
+    b3,
+    prelu_a,
+    act: str = "Softplus",
+    k: int = 4,
+    eps: float = 1e-5,
+    interpret: bool = False,
+    debug_intermediates: bool = False,
+):
+    """Public wrapper: resolves the kernel tile sizes (env-tunable via
+    POSFEAT_HEAD_T1/T2, format "th,tw") OUTSIDE the jit so changing them
+    invalidates the compile cache."""
+    import os
+
+    _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,32").split(",")
+    _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,32").split(",")
+    tiles = (int(_t1[0]), int(_t1[1]), int(_t2[0]), int(_t2[1]))
+    return _fused_head_tail(
+        trunk, z_img, k2_trunk, b2, w3, b3, prelu_a,
+        act=act, k=k, eps=eps, interpret=interpret,
+        debug_intermediates=debug_intermediates, tiles=tiles,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "k", "interpret", "debug_intermediates"),
+    static_argnames=("act", "k", "interpret", "debug_intermediates", "tiles"),
 )
-def fused_head_tail(
+def _fused_head_tail(
     trunk: jnp.ndarray,  # [B, h, w, Cin] (post conv1+IN+PReLU)
     z_img: jnp.ndarray,  # [B, k*h, k*w, Cout] (img-branch conv2 output)
     k2_trunk: jnp.ndarray,  # [3, 3, Cin, Cout] f32
@@ -246,6 +245,7 @@ def fused_head_tail(
     eps: float = 1e-5,
     interpret: bool = False,
     debug_intermediates: bool = False,
+    tiles=(8, 32, 8, 32),
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
@@ -273,15 +273,11 @@ def fused_head_tail(
             (trunk, z_img), (canon4, canon4)
         )
 
-    import os
-
-    _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,32").split(",")
-    _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,32").split(",")
-    th = _pick_tile(h, int(_t1[0]))
-    tw = _pick_tile(w, int(_t1[1]))
+    th = _pick_tile(h, tiles[0])
+    tw = _pick_tile(w, tiles[1])
     nty, ntx = h // th, w // tw
-    th2 = _pick_tile(h, int(_t2[0]))
-    tw2 = _pick_tile(w, int(_t2[1]))
+    th2 = _pick_tile(h, tiles[2])
+    tw2 = _pick_tile(w, tiles[3])
     nty2, ntx2 = h // th2, w // tw2
 
     # lane-align the contraction dim for the halo DMA (the MXU tiles K by

@@ -104,6 +104,9 @@ def test_extractor_bf16_autoselects_pallas(tmp_path, rng):
             "output_desc": True,
             "output_img": False,
             "compute_dtype": dtype,
+            # auto-selection is TPU-only; opt in explicitly on the CPU
+            # test backend (runs the kernels in interpret mode)
+            **({"head_dataflow": "pallas"} if dtype == "bfloat16" else {}),
             "model": "PoSFeat",
             "model_config": __import__("copy").deepcopy(model_cfg),
             "data": "HPatch_SIFT",
@@ -114,10 +117,12 @@ def test_extractor_bf16_autoselects_pallas(tmp_path, rng):
             "detector_config": {"num_pts": 128, "nms_radius": 1, "use_nms": True},
         }
         ex = Extractor(cfg, ckpt_root=str(tmp_path / "ck"))
-        assert (
-            ex.config["model_config"]["localheader_config"].get("fused_upsample")
-            == ("pallas" if dtype == "bfloat16" else None)
+        lh = ex.config["model_config"]["localheader_config"]
+        assert lh.get("fused_upsample") == (
+            "pallas" if dtype == "bfloat16" else None
         )
+        # the head_dataflow injection must not leak into the caller's cfg
+        assert "fused_upsample" not in model_cfg["localheader_config"]
         ex.extract()
         d = np.load(
             str(tmp_path / "ck" / f"ex_{tag}" / "desc" / "i_x" / "1.ppm.pf")

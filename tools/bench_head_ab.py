@@ -77,7 +77,10 @@ if __name__ == "__main__":
     if "n" in which:
         from posfeat_tpu.models.keypoint_det import KeypointDet
 
-        bench("new_phase", KeypointDet)
+        bench(
+            "new_phase",
+            lambda **kw: KeypointDet(**{**kw, "fused_upsample": "phase"}),
+        )
     if "p" in which:
         from posfeat_tpu.models.keypoint_det import KeypointDet
 
