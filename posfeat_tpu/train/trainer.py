@@ -338,10 +338,23 @@ class Trainer:
         data_iter = iter(self.train_loader)
         global_step = (self.start_epoch - 1) * self.steps_per_epoch
 
+        from ..core.profiling import StepTimer, trace
+
+        timer = StepTimer(
+            sink_path=os.path.join(self.save_root, "step_times.jsonl")
+        )
+        # optional device-trace capture of the first profiled steps
+        # (config: profile_trace_dir; view with TensorBoard)
+        trace_dir = cfg.get("profile_trace_dir")
+        trace_cm = trace(trace_dir) if trace_dir else None
+        if trace_cm is not None:
+            trace_cm.__enter__()
+
         for epoch in range(self.start_epoch, n_epochs + 1):
             step_fn = self._build_step(epoch)
             t_epoch = time.time()
             for idx in range(self.steps_per_epoch):
+                timer.start()
                 batch_np = next(data_iter)
                 batch = shard_batch(
                     {k: v for k, v in batch_np.items() if k in _DEVICE_KEYS},
@@ -366,6 +379,12 @@ class Trainer:
                     }
 
                 global_step += 1
+                timer.stop(step=global_step, epoch=epoch)
+                if trace_cm is not None and global_step >= 3:
+                    # a few steps are enough for an XLA op trace
+                    trace_cm.__exit__(None, None, None)
+                    trace_cm = None
+                    self.logger.info(f"device trace written to {trace_dir}")
                 if not bool(finite):
                     self.save_error_dump(batch_np, total, global_step)
                     continue
@@ -377,6 +396,7 @@ class Trainer:
                         "epoch": epoch,
                         "total_loss": float(np.asarray(total)),
                         "sec_per_step": (time.time() - t_epoch) / (idx + 1),
+                        **{f"step_time/{k}": v for k, v in timer.stats().items()},
                         **{
                             f"grad_norm/{m}": float(np.asarray(g))
                             for m, g in grad_norms.items()
@@ -398,6 +418,8 @@ class Trainer:
             self.logger.info(
                 f"epoch {epoch} done in {time.time() - t_epoch:.1f}s"
             )
+        if trace_cm is not None:  # very short runs: close the trace
+            trace_cm.__exit__(None, None, None)
 
     # ------------------------------------------------------ visualization
 
