@@ -14,6 +14,10 @@ Extraction runs the network in eval mode (frozen BatchNorm running
 averages), so there are no cross-device statistics to manage; results
 are bitwise-identical to the unsharded program up to XLA reduction
 order.
+
+Note: use the XLA head dataflows (fused_upsample True/"phase"/False)
+with spatial sharding — the Mosaic fused head (`"pallas"`) is a
+single-device kernel and is not SPMD-partitionable.
 """
 
 from __future__ import annotations
