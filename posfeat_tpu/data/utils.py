@@ -142,8 +142,19 @@ def rotate_image(image: np.ndarray, angle: float):
     import cv2
 
     h, w = image.shape[:2]
-    if abs(angle) % 180.0 < 1e-9:  # identity rotation: reference formula
+    if abs(angle) % 360.0 < 1e-9:  # identity rotation: reference formula
         return image.copy(), np.eye(4)  # divides by tan(0) (bug fixed here)
+    if abs(abs(angle) % 360.0 - 180.0) < 1e-9:
+        # 180°: content fills the frame at scale 1; the scale formula
+        # below degenerates (tan(pi)=0)
+        center = tuple(np.array(image.shape[1::-1]) / 2.0)
+        rot_mat = cv2.getRotationMatrix2D(center, 180.0, 1.0)
+        result = cv2.warpAffine(
+            image, rot_mat, image.shape[1::-1], flags=cv2.INTER_LINEAR
+        )
+        rotation = np.eye(4)
+        rotation[:2, :2] = rot_mat[:2, :2]
+        return result, rotation
     rad = np.abs(angle / 180.0 * np.pi)
     cos, sin, tan = np.cos(rad), np.sin(rad), np.tan(rad)
     scale_h = (h / cos + (w - h * tan) * sin) / h

@@ -272,19 +272,30 @@ def generate_kpts(
     epoch: int = 0,
 ):
     """Two-image whole-map detector (putils:196-213): stable top-k with
-    probability stable_prob, else Gumbel sampling at 0.01/(epoch+1)."""
+    probability stable_prob, else Gumbel sampling at 0.01/(epoch+1).
+
+    Jit-safe: the stable/gumbel choice is a traced Bernoulli draw routed
+    through ``lax.cond`` (both branches return identical static shapes),
+    not a Python-level bool of a tracer."""
     k_choice, k1, k2 = jax.random.split(key, 3)
     kp_map1 = outputs["preds1"]["local_point"]
     kp_map2 = outputs["preds2"]["local_point"]
-    stable = bool(jax.random.uniform(k_choice) < stable_prob)
     temperature = 0.01 / (epoch + 1)
     kw = dict(
         num_pts=num_pts, nms_radius=nms_radius, use_nms=use_nms,
-        stride=stride, stable=stable, temperature=temperature,
+        stride=stride, temperature=temperature,
     )
-    kps1, s1, _ = generate_kpts_single(kp_map1, key=k1, **kw)
-    kps2, s2, _ = generate_kpts_single(kp_map2, key=k2, **kw)
-    return kps1, kps2, s1, s2
+
+    def run(stable):
+        kps1, s1, _ = generate_kpts_single(kp_map1, key=k1, stable=stable, **kw)
+        kps2, s2, _ = generate_kpts_single(kp_map2, key=k2, stable=stable, **kw)
+        return kps1, kps2, s1, s2
+
+    return jax.lax.cond(
+        jax.random.uniform(k_choice) < stable_prob,
+        lambda: run(True),
+        lambda: run(False),
+    )
 
 
 def generate_kpts_regular_grid(
@@ -297,18 +308,30 @@ def generate_kpts_regular_grid(
     use_nms=True,
     nms_radius: int = None,
 ):
-    """Two-image grid-cell detector (putils:358-373)."""
+    """Two-image grid-cell detector (putils:358-373). Jit-safe stable/gumbel
+    choice via ``lax.cond`` (see generate_kpts)."""
     k_choice, k1, k2 = jax.random.split(key, 3)
     kp_map1 = outputs["preds1"]["local_point"]
     kp_map2 = outputs["preds2"]["local_point"]
-    stable = bool(jax.random.uniform(k_choice) < stable_prob)
     kw = dict(
-        grid_size=grid_size, num_pts=num_pts, stable=stable,
+        grid_size=grid_size, num_pts=num_pts,
         use_nms=use_nms, nms_radius=nms_radius,
     )
-    kps1, s1, _ = generate_kpts_regular_grid_single(kp_map1, key=k1, **kw)
-    kps2, s2, _ = generate_kpts_regular_grid_single(kp_map2, key=k2, **kw)
-    return kps1, kps2, s1, s2
+
+    def run(stable):
+        kps1, s1, _ = generate_kpts_regular_grid_single(
+            kp_map1, key=k1, stable=stable, **kw
+        )
+        kps2, s2, _ = generate_kpts_regular_grid_single(
+            kp_map2, key=k2, stable=stable, **kw
+        )
+        return kps1, kps2, s1, s2
+
+    return jax.lax.cond(
+        jax.random.uniform(k_choice) < stable_prob,
+        lambda: run(True),
+        lambda: run(False),
+    )
 
 
 DETECTORS = {

@@ -65,4 +65,11 @@ def spatial_extract(
             return postprocess(outputs)
         return outputs
 
-    return jax.jit(fn, in_shardings=(repl, im_sh), out_shardings=repl)
+    if postprocess is not None:
+        # postprocessed outputs (keypoint slates, descriptors) are small;
+        # replicate them for host consumption
+        return jax.jit(fn, in_shardings=(repl, im_sh), out_shardings=repl)
+    # raw full-resolution maps: let XLA keep them H-sharded — replicating
+    # would all-gather them onto every device and reintroduce the
+    # single-chip memory footprint this module exists to avoid
+    return jax.jit(fn, in_shardings=(repl, im_sh))

@@ -349,7 +349,19 @@ class Trainer:
         trace_cm = trace(trace_dir) if trace_dir else None
         if trace_cm is not None:
             trace_cm.__enter__()
+        self._open_trace = trace_cm
+        try:
+            self._train_epochs(n_epochs, log_freq, tb_keys, key, data_iter,
+                               global_step, timer, trace_dir)
+        finally:
+            # an exception anywhere in the loop (non-finite dump, loader
+            # error, interrupt) must still close an open device trace
+            if self._open_trace is not None:
+                self._open_trace.__exit__(None, None, None)
+                self._open_trace = None
 
+    def _train_epochs(self, n_epochs, log_freq, tb_keys, key, data_iter,
+                      global_step, timer, trace_dir):
         for epoch in range(self.start_epoch, n_epochs + 1):
             step_fn = self._build_step(epoch)
             t_epoch = time.time()
@@ -379,13 +391,17 @@ class Trainer:
                     }
 
                 global_step += 1
+                # the finite fetch blocks until the device step completes, so
+                # the timer (stopped after it) measures the full step, not
+                # just host-side dispatch (step_fn is async under jit)
+                finite_val = bool(finite)
                 timer.stop(step=global_step, epoch=epoch)
-                if trace_cm is not None and global_step >= 3:
+                if self._open_trace is not None and global_step >= 3:
                     # a few steps are enough for an XLA op trace
-                    trace_cm.__exit__(None, None, None)
-                    trace_cm = None
+                    self._open_trace.__exit__(None, None, None)
+                    self._open_trace = None
                     self.logger.info(f"device trace written to {trace_dir}")
-                if not bool(finite):
+                if not finite_val:
                     self.save_error_dump(batch_np, total, global_step)
                     continue
 
@@ -418,8 +434,6 @@ class Trainer:
             self.logger.info(
                 f"epoch {epoch} done in {time.time() - t_epoch:.1f}s"
             )
-        if trace_cm is not None:  # very short runs: close the trace
-            trace_cm.__exit__(None, None, None)
 
     # ------------------------------------------------------ visualization
 

@@ -117,3 +117,48 @@ def test_regular_grid_single_runs(rng):
     assert kps.shape == (1, 32, 2)
     assert score.shape == (1, 32, 1)
     assert (np.abs(np.asarray(kps)) <= 1).all()
+
+
+def test_two_image_detectors_jit(rng):
+    """generate_kpts / generate_kpts_regular_grid must compile under jit
+    (the stable/gumbel choice is a lax.cond on a traced Bernoulli draw)."""
+    import jax
+
+    outputs = {
+        "preds1": {
+            "local_point": jnp.asarray(
+                (rng.rand(1, 48, 48, 1) + 0.01).astype(np.float32)
+            )
+        },
+        "preds2": {
+            "local_point": jnp.asarray(
+                (rng.rand(1, 48, 48, 1) + 0.01).astype(np.float32)
+            )
+        },
+    }
+    from posfeat_tpu.ops.detect import generate_kpts, generate_kpts_regular_grid
+
+    f1 = jax.jit(
+        lambda o, k: generate_kpts(o, k, nms_radius=1, num_pts=64, epoch=0)
+    )
+    kps1, kps2, s1, s2 = f1(outputs, jax.random.PRNGKey(0))
+    assert kps1.shape == (1, 64, 2) and s2.shape == (1, 64, 1)
+    assert np.isfinite(np.asarray(kps1)).all()
+
+    # stable_prob=0 forces the gumbel branch; must also be finite
+    f1g = jax.jit(
+        lambda o, k: generate_kpts(
+            o, k, nms_radius=1, num_pts=64, epoch=0, stable_prob=0.0
+        )
+    )
+    kg, *_ = f1g(outputs, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(kg)).all()
+
+    f2 = jax.jit(
+        lambda o, k: generate_kpts_regular_grid(
+            o, k, grid_size=8, num_pts=32, nms_radius=1
+        )
+    )
+    g1, g2, gs1, gs2 = f2(outputs, jax.random.PRNGKey(2))
+    assert g1.shape == (1, 32, 2)
+    assert np.isfinite(np.asarray(g1)).all()
