@@ -34,6 +34,15 @@ class _SingleImageDataset:
 
     def __init__(self, configs: Dict):
         self.configs = configs
+        # host-side SIFT is only needed by the use_sift passthrough path;
+        # the learned-detector path sets compute_sift False to keep it off
+        # the extraction hot loop (reference runs it unconditionally,
+        # hpatches.py:39-42 — pure host waste there)
+        self.compute_sift = bool(configs.get("compute_sift", True))
+        # the batched extractor normalizes on device (uint8 ships over
+        # the host->device link at 1/4 the bytes of normalized f32);
+        # compute_normalize=False skips the redundant host normalize
+        self.compute_normalize = bool(configs.get("compute_normalize", True))
         self.imfs = self._glob_images(configs)
         # multi-host extraction: shard the image list (the reference's
         # DistributedSampler analog, extractor.py:95-98 / SURVEY §5) —
@@ -58,10 +67,14 @@ class _SingleImageDataset:
         imf = self.imfs[item]
         im = _imread_rgb(imf)
         im = crop_mod16(im)
-        coord = sift_keypoints(im)
+        coord = (
+            sift_keypoints(im)
+            if self.compute_sift
+            else np.zeros((0, 2), np.float32)
+        )
         return {
             # fused native crop+normalize (numpy fallback built in)
-            "im1": normalize_crop16(im),
+            "im1": normalize_crop16(im) if self.compute_normalize else None,
             "im1_ori": im,
             "coord1": coord,
             "name1": self._name(imf),

@@ -1,13 +1,16 @@
 """Feature extraction manager (reference managers/extractor.py:40-382).
 
-TPU design: the whole per-image device program — backbone + head forward,
+TPU design: the whole extraction device program — backbone + head forward,
 NMS, top-k keypoint selection, 3×3 coordinate refinement, descriptor
-grid-sampling — is a single jitted function, compiled once per unique
-image shape (shapes are %16-cropped, so real datasets hit a few dozen
-buckets; a compile cache keyed on (H, W) makes the steady state one
-device call per image). The dynamic keypoint count of the reference
-(putils:249-261) is recovered on host by trimming the static top-k slate
-with the device-computed valid_count.
+grid-sampling — is a single jitted function over a static [B, H, W, 3]
+batch, compiled once per unique (batch, shape, detector-config) bucket
+(shapes are %16-cropped, so real datasets hit a few dozen buckets).
+Images stream through a threaded decode prefetcher into shape buckets;
+full buckets dispatch asynchronously while results are fetched two
+batches behind, and feature files are written from a background pool —
+device, decode, and IO all overlap. The dynamic keypoint count of the
+reference (putils:249-261) is recovered on host by trimming the static
+top-k slate with the device-computed valid_count.
 
 Feature files are bit-compatible with the reference:
 `np.savez(keypoints [n,2]px, scores [n,1], descriptors [n,128])`
@@ -116,7 +119,15 @@ class Extractor:
             self.logger.info("use sift keypoints")
 
         dataset_cls = DATASETS[self.config["data"]]
-        self.dataset = dataset_cls(configs=self.config["data_config_extract"])
+        dcfg = dict(self.config["data_config_extract"])
+        # only the use_sift passthrough needs host SIFT keypoints; the
+        # learned path also skips host normalization (done on device from
+        # uint8 — 4x fewer bytes over the host->device link)
+        dcfg.setdefault("compute_sift", bool(self.sift_kp))
+        dcfg.setdefault("compute_normalize", bool(self.sift_kp))
+        self.dataset = dataset_cls(configs=dcfg)
+        self.batch_size = max(1, int(dcfg.get("batch_size", 1)))
+        self.workers = max(1, int(dcfg.get("workers", 4)))
 
         self._jit_cache: Dict[Any, Any] = {}
 
@@ -129,15 +140,22 @@ class Extractor:
         return partial(det, **cfg)
 
     def _learned_fn(self, shape, det_cfg_key: str):
-        """Jitted: image -> (coords px, scores, descriptors, valid_count)."""
+        """Jitted: uint8 image batch -> (coords px, scores, descriptors,
+        valid_count). ImageNet normalization runs on device so the host
+        ships raw uint8 (1/4 the bytes of normalized f32)."""
         key = ("learned", shape, det_cfg_key)
         if key not in self._jit_cache:
+            from ..data.utils import IMAGENET_MEAN, IMAGENET_STD
+
             H, W = shape
             det_cfg = self.config[det_cfg_key]
             detector = self._detector_fn(det_cfg)
             cos = self.config["loss_distance"] == "cos"
+            mean = jnp.asarray(IMAGENET_MEAN)
+            std = jnp.asarray(IMAGENET_STD)
 
-            def run(variables, im):
+            def run(variables, im_u8):
+                im = (im_u8.astype(jnp.float32) / 255.0 - mean) / std
                 outputs = self.model.extract(variables, im, train=False)
                 coord_n, score, valid = detector(outputs["local_point"])
                 feat = sample_feat_by_coord(outputs["local_map"], coord_n, cos)
@@ -168,10 +186,9 @@ class Extractor:
     def process(self, inputs: Dict) -> Dict:
         """One image -> {'kpt': [n,2] px, 'desc': [n,c], 'kp_score': [n,1]}
         (reference extractor.py:318-355)."""
-        im = jnp.asarray(inputs["im1"])[None]  # [1, H, W, 3]
-        H, W = im.shape[1:3]
-
         if self.sift_kp:
+            im = jnp.asarray(inputs["im1"])[None]  # [1, H, W, 3] normalized
+            H, W = im.shape[1:3]
             coords_np = np.asarray(inputs["coord1"], np.float32)
             n = len(coords_np)
             n_pad = max(128, int(np.ceil(n / 512.0)) * 512)
@@ -185,14 +202,11 @@ class Extractor:
             kp_score = np.ones((n, 1), np.float32)
             return {"kpt": kpt, "desc": desc, "kp_score": kp_score}
 
-        det_cfg_key = "detector_config"
-        if self.config["data"] == "Aachen_Day_Night":
-            name = inputs["name1"]
-            if name.split("/")[0] == "query" and "detector_config_query" in self.config:
-                det_cfg_key = "detector_config_query"
-
+        det_cfg_key = self._det_cfg_key(inputs)
+        im_u8 = jnp.asarray(np.asarray(inputs["im1_ori"], np.uint8))[None]
+        H, W = im_u8.shape[1:3]
         coords, score, feat, valid = self._learned_fn((H, W), det_cfg_key)(
-            self.variables, im
+            self.variables, im_u8
         )
         # reference dynamic count: max(min(num_pts, valid), 128) (putils:249-261)
         num_pts = self.config[det_cfg_key]["num_pts"]
@@ -244,7 +258,7 @@ class Extractor:
                 fdesc[h5_base] = desc
                 fsco[h5_base] = scores
                 fsca[h5_base] = scales
-            h, w = inputs["im1"].shape[:2]
+            h, w = inputs["im1_ori"].shape[:2]
             with h5py.File(os.path.join(h5_root, "feat.h5"), "a") as fh5:
                 grp = fh5.create_group(name)
                 grp.create_dataset("keypoints", data=kpt)
@@ -284,20 +298,150 @@ class Extractor:
 
     # ------------------------------------------------------------- main
 
-    def extract(self):
-        name_list = ""
-        t0 = time.time()
+    def _prefetch(self):
+        """Yield (idx, sample) in dataset order with threaded lookahead
+        (the reference's DataLoader-worker analog, extractor.py:357-365)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self.dataset)
+        depth = max(2 * self.workers, 2 * self.batch_size, 4)
+        with ThreadPoolExecutor(self.workers) as pool:
+            futs = deque(
+                (i, pool.submit(self.dataset.__getitem__, i))
+                for i in range(min(depth, n))
+            )
+            nxt = len(futs)
+            while futs:
+                i, f = futs.popleft()
+                yield i, f.result()
+                if nxt < n:
+                    futs.append((nxt, pool.submit(self.dataset.__getitem__, nxt)))
+                    nxt += 1
+
+    def _det_cfg_key(self, inputs: Dict) -> str:
+        det_cfg_key = "detector_config"
+        if self.config["data"] == "Aachen_Day_Night":
+            name = inputs["name1"]
+            if (
+                name.split("/")[0] == "query"
+                and "detector_config_query" in self.config
+            ):
+                det_cfg_key = "detector_config_query"
+        return det_cfg_key
+
+    def _write_one(self, inputs: Dict, processed: Dict) -> str:
+        message = inputs["name1"]
+        if self.config["output_desc"]:
+            message += self.save_desc(inputs, processed)
+        if self.config.get("output_img"):
+            message += self.save_imgs(inputs, processed)
+        return message
+
+    def _extract_learned_batched(self, names: Dict[int, str]) -> int:
+        """Shape-bucketed, batched, pipelined extraction (SURVEY §7
+        extract/ spec; replaces the reference's batch-1 synchronous loop,
+        managers/extractor.py:357-382).
+
+        Images are grouped by (H, W, detector-config) into buckets of the
+        static batch size; each full bucket is dispatched asynchronously
+        (XLA queues the program while the host keeps decoding images and
+        writing feature files), and results are fetched two batches
+        behind the dispatch front so device and host overlap. Partial
+        final buckets are padded by repeating the last image — same
+        compiled program, padded slots dropped on host."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        bs = self.batch_size
+        pending: deque = deque()
+        buckets: Dict[Any, list] = {}
+        write_futs = []
         n_images = 0
-        for idx, inputs in enumerate(self.dataset):
-            message = inputs["name1"]
-            processed = self.process(inputs)
-            if self.config["output_desc"]:
-                message += self.save_desc(inputs, processed)
-            if self.config.get("output_img"):
-                message += self.save_imgs(inputs, processed)
-            self.logger.info(message)
-            name_list += "{} {}\n".format(idx, inputs["name1"])
+        # h5py appends are not thread-safe across workers: serialize all
+        # writes through one thread when h5 output is on
+        write_pool = ThreadPoolExecutor(1 if self.save_h5 else 4)
+
+        def finish(key, items, out):
+            shape, det_cfg_key = key
+            coords, score, feat, valid = out
+            coords = np.asarray(coords, np.float32)
+            score = np.asarray(score, np.float32)
+            feat = np.asarray(feat, np.float32)
+            valid = np.asarray(valid)
+            num_pts = self.config[det_cfg_key]["num_pts"]
+            for j, inputs in enumerate(items):
+                # reference dynamic count (putils:249-261)
+                n_emit = int(max(min(num_pts, int(valid[j])), 128))
+                processed = {
+                    "kpt": coords[j, :n_emit],
+                    "desc": feat[j, :n_emit],
+                    "kp_score": score[j, :n_emit],
+                }
+                write_futs.append(
+                    write_pool.submit(self._write_one, inputs, processed)
+                )
+                self.logger.info(f"{inputs['name1']}\nkpts: {n_emit}")
+
+        def dispatch(key):
+            items = buckets.pop(key)
+            shape, det_cfg_key = key
+            ims = [np.asarray(it["im1_ori"], np.uint8) for it in items]
+            while len(ims) < bs:  # pad partial bucket: same program
+                ims.append(ims[-1])
+            batch = jnp.asarray(np.stack(ims))
+            out = self._learned_fn(shape, det_cfg_key)(self.variables, batch)
+            pending.append((key, items, out))
+            while len(pending) > 2:
+                finish(*pending.popleft())
+
+        for idx, inputs in self._prefetch():
+            names[idx] = inputs["name1"]
             n_images += 1
+            H, W = inputs["im1_ori"].shape[:2]
+            key = ((H, W), self._det_cfg_key(inputs))
+            buckets.setdefault(key, []).append(inputs)
+            if len(buckets[key]) == bs:
+                dispatch(key)
+        for key in list(buckets):
+            dispatch(key)
+        while pending:
+            finish(*pending.popleft())
+        write_pool.shutdown(wait=True)
+        for f in write_futs:  # surface writer errors
+            f.result()
+        return n_images
+
+    def _extract_sift(self, names: Dict[int, str]) -> int:
+        """SIFT-passthrough path: per-image (keypoint counts vary), but
+        with threaded prefetch + async writes."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        write_pool = ThreadPoolExecutor(1 if self.save_h5 else 4)
+        write_futs = []
+        n_images = 0
+        for idx, inputs in self._prefetch():
+            names[idx] = inputs["name1"]
+            n_images += 1
+            processed = self.process(inputs)
+            write_futs.append(
+                write_pool.submit(self._write_one, inputs, processed)
+            )
+            self.logger.info(
+                f"{inputs['name1']}\nkpts: {processed['kpt'].shape[0]}"
+            )
+        write_pool.shutdown(wait=True)
+        for f in write_futs:
+            f.result()
+        return n_images
+
+    def extract(self):
+        t0 = time.time()
+        names: Dict[int, str] = {}
+        if self.sift_kp:
+            n_images = self._extract_sift(names)
+        else:
+            n_images = self._extract_learned_batched(names)
         # sharded runs write per-shard lists so hosts don't clobber each
         # other; single-shard keeps the reference's name_list.txt
         fname = (
@@ -306,7 +450,8 @@ class Extractor:
             else f"name_list.shard{self.shard_index}.txt"
         )
         with open(os.path.join(self.img_root, fname), "w") as f:
-            f.write(name_list)
+            for idx in sorted(names):
+                f.write("{} {}\n".format(idx, names[idx]))
         dt = time.time() - t0
         self.logger.info(
             f"extracted {n_images} images in {dt:.1f}s ({n_images / max(dt, 1e-9):.2f} im/s)"

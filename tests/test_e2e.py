@@ -262,3 +262,64 @@ def test_train_stage2_smoke(tmp_path):
     t = Trainer(_train_config(tmp_path, "kp"), ckpt_root=str(tmp_path / "ckpts"))
     t.train()
     assert os.path.exists(str(tmp_path / "ckpts/smoke_kp/001/localheader.msgpack"))
+
+
+@pytest.mark.slow
+def test_batched_extraction_matches_single(tmp_path):
+    """The shape-bucketed batched pipeline (batch_size=4, incl. a padded
+    partial bucket) must produce the same feature files as batch-1."""
+    from posfeat_tpu.extract import Extractor
+
+    data_root = str(tmp_path / "hp")
+    os.makedirs(data_root)
+    make_mini_hpatches(data_root, n_seq=2, n_img=3)  # 6 images, bs=4 -> pad
+
+    base = {
+        "postfix": "b",
+        "load_path": None,
+        "loss_distance": "cos",
+        "output_desc": True,
+        "output_img": False,
+        "model": "PoSFeat",
+        "model_config": MODEL_CONFIG,
+        "data": "HPatch_SIFT",
+        "local_thr": 0.99,
+        "use_sift": False,
+        "detector": "generate_kpts_single",
+        "detector_config": {
+            "num_pts": 256, "stable": True, "use_nms": True,
+            "nms_radius": 1, "thr": 0.9, "thr_mod": "abs",
+        },
+    }
+    import copy
+
+    cfg1 = copy.deepcopy(base)
+    cfg1["output_root"] = "hp/single"
+    cfg1["data_config_extract"] = {
+        "data_path": data_root, "batch_size": 1, "workers": 2,
+    }
+    cfg4 = copy.deepcopy(base)
+    cfg4["output_root"] = "hp/batched"
+    cfg4["data_config_extract"] = {
+        "data_path": data_root, "batch_size": 4, "workers": 2,
+    }
+    root = str(tmp_path / "ckpts")
+    Extractor(cfg1, ckpt_root=root).extract()
+    Extractor(cfg4, ckpt_root=root).extract()
+
+    import glob
+
+    singles = sorted(glob.glob(os.path.join(root, "hp/single/desc/*/*.b")))
+    assert len(singles) == 6
+    for sp in singles:
+        bp = sp.replace("/single/", "/batched/")
+        fs, fb = np.load(sp), np.load(bp)
+        assert fs["keypoints"].shape == fb["keypoints"].shape
+        np.testing.assert_allclose(fs["keypoints"], fb["keypoints"], atol=1e-4)
+        np.testing.assert_allclose(
+            fs["descriptors"], fb["descriptors"], atol=1e-4
+        )
+        np.testing.assert_allclose(fs["scores"], fb["scores"], atol=1e-5)
+    # name_list is ordered and complete in both
+    nl = open(os.path.join(root, "hp/batched/image/name_list.txt")).read()
+    assert len(nl.strip().splitlines()) == 6
