@@ -437,115 +437,203 @@ class Trainer:
 
     # ------------------------------------------------------ visualization
 
+    _VIS_FOLDERS = (
+        "0_original_images",
+        "1_score_maps",
+        "2_all_keypoints",
+        "3_matched_keypoints",
+        "4_matches_less",
+        "5_matches_all",
+    )
+
+    def _load_val_samples(self):
+        """Persisted validation samples (reference trainer.py:136-145):
+        drawn from ``val_config['data_config_val']`` when present (else
+        the train set) and cached to ``val_data.npz`` so every run — and
+        every resume — validates on the same samples."""
+        if hasattr(self, "_val_samples"):
+            return self._val_samples
+        path = os.path.join(self.save_root, "val_data.npz")
+        if os.path.exists(path):
+            data = np.load(path, allow_pickle=True)
+            self._val_samples = list(data["val_data"])
+            return self._val_samples
+        vcfg = self.config.get("val_config") or {}
+        n_vis = int(vcfg.get("n_vis", 2))
+        dccfg = vcfg.get("data_config_val")
+        if dccfg:
+            ds = DATASETS[self.config["data"]](configs=dccfg, is_train=False)
+        else:
+            ds = self.train_dataset
+        samples = []
+        for i in range(len(ds)):
+            s = ds[i]
+            if s is not None:
+                samples.append(s)
+            if len(samples) >= n_vis:
+                break
+        self._val_samples = samples
+        if samples:
+            arr = np.empty(len(samples), dtype=object)
+            for i, s in enumerate(samples):
+                arr[i] = s
+            np.savez(path, val_data=arr)
+        return samples
+
     def val_and_vis(self, epoch: int, step: int):
-        """Visual validation dumps (reference trainer.py:380-544): score
-        maps, detected keypoints, and mutual-NN matches with epipolar-error
-        color coding — the reference's documented stopping criterion for
-        stage 2 (README.md:72-77)."""
+        """Visual validation dumps (reference trainer.py:380-544): the six
+        reference image sets per val sample — original pair, score maps,
+        all keypoints, matched keypoints, top-k matches, and all matches
+        with RdYlGn epipolar-error color coding — the reference's
+        documented stopping criterion for stage 2 (README.md:72-77).
+        ``val_config['detector']`` is honored, including the ``'sift'``
+        passthrough used by train_desc.yaml."""
         vcfg = self.config.get("val_config")
         if not vcfg:
             return
         try:
-            import cv2
-
-            from ..ops.coords import denormalize_coords, normalize_coords
-            from ..ops.detect import generate_kpts_single
-            from ..ops.epipolar import epipolar_cost
-            from ..ops.grid_sample import sample_feat_by_coord
-            from ..ops.matchers import mnn_matcher
-
-            if not hasattr(self, "_val_batch"):
-                sample = None
-                for i in range(len(self.train_dataset)):
-                    sample = self.train_dataset[i]
-                    if sample is not None:
-                        break
-                if sample is None:
-                    return
-                self._val_batch = sample
-
-            sample = self._val_batch
-            vis_dir = os.path.join(self.save_root, "vis")
-            os.makedirs(vis_dir, exist_ok=True)
             variables = self._merge_variables(self.trainable)
-            prefix = os.path.join(vis_dir, f"e{epoch:03d}_s{step}")
-
-            outs = {}
-            for tag in ("im1", "im2"):
-                if tag not in sample:
-                    continue
-                im = jnp.asarray(sample[tag])[None]
-                outputs = self.model.extract(variables, im, train=False)
-                outs[tag] = outputs
-                score = np.asarray(outputs["local_point"], np.float32)[0, :, :, 0]
-                smax = np.percentile(score, 99) + 1e-8
-                vis = (np.clip(score / smax, 0, 1) * 255).astype(np.uint8)
-                cv2.imwrite(
-                    f"{prefix}_{tag}_score.jpg",
-                    cv2.applyColorMap(vis, cv2.COLORMAP_JET),
-                )
-
-            if "im2" not in outs or "F1" not in sample:
-                return
-
-            # detect + describe + mutual-NN match, epipolar-error colored
-            det_cfg = vcfg.get("detector_config") or {
-                "num_pts": 512, "nms_radius": 1, "use_nms": True, "thr": False,
-            }
-            feats = {}
-            for tag in ("im1", "im2"):
-                H, W = sample[tag].shape[:2]
-                o = outs[tag]
-                kps_n, _, valid = generate_kpts_single(
-                    o["local_point"].astype(jnp.float32),
-                    num_pts=int(det_cfg.get("num_pts", 512)),
-                    nms_radius=int(det_cfg.get("nms_radius", 1)),
-                    use_nms=det_cfg.get("use_nms", True),
-                    thr=det_cfg.get("thr", False),
-                )
-                desc = sample_feat_by_coord(o["local_map"], kps_n, True)
-                n = max(min(int(valid[0]), kps_n.shape[1]), 8)
-                feats[tag] = (
-                    np.asarray(denormalize_coords(kps_n, H, W))[0, :n],
-                    np.asarray(desc, np.float32)[0, :n],
-                )
-
-            k1, d1 = feats["im1"]
-            k2, d2 = feats["im2"]
-            matches = mnn_matcher(d1, d2)
-            topk = int(vcfg.get("vis_topk", 50))
-            matches = matches[:topk]
-            if len(matches):
-                c1 = k1[matches[:, 0]][None]
-                c2 = k2[matches[:, 1]][None]
-                err = np.asarray(
-                    epipolar_cost(
-                        jnp.asarray(c1), jnp.asarray(c2),
-                        jnp.asarray(sample["F1"])[None],
-                    )
-                )[0]
-            else:
-                err = np.zeros((0,))
-
-            im1 = sample["im1_ori"].copy()
-            im2 = sample["im2_ori"].copy()
-            h1 = im1.shape[0]
-            canvas = np.zeros(
-                (max(h1, im2.shape[0]), im1.shape[1] + im2.shape[1], 3), np.uint8
-            )
-            canvas[: im1.shape[0], : im1.shape[1]] = im1
-            canvas[: im2.shape[0], im1.shape[1] :] = im2
-            thr_px = float(vcfg.get("vis_err_thr", 5))
-            for mi, (a, b) in enumerate(matches):
-                p1 = (int(k1[a][0]), int(k1[a][1]))
-                p2 = (int(k2[b][0]) + im1.shape[1], int(k2[b][1]))
-                good = err[mi] < thr_px
-                color = (0, 255, 0) if good else (0, 0, 255)
-                cv2.line(canvas, p1, p2, color, 1)
-                cv2.circle(canvas, p1, 2, color, -1)
-                cv2.circle(canvas, p2, 2, color, -1)
-            cv2.imwrite(
-                f"{prefix}_matches.jpg", cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR)
-            )
+            for si, sample in enumerate(self._load_val_samples()):
+                self._vis_sample(si, sample, variables, vcfg, step)
         except Exception as e:  # vis must never kill training
             self.logger.warning(f"val_and_vis failed: {e}")
+
+    def _vis_sample(self, si: int, sample: Dict, variables, vcfg: Dict, step: int):
+        import cv2
+
+        from ..data.utils import tensor2array
+        from ..ops.coords import denormalize_coords, normalize_coords
+        from ..ops.detect import DETECTORS
+        from ..ops.grid_sample import sample_feat_by_coord
+        from ..ops.matchers import mnn_matcher
+
+        mid_pad = 20  # reference trainer.py:385
+        h, w = sample["im1"].shape[:2]
+        sample_dir = os.path.join(self.save_root, "vis", f"sample{si}")
+        for folder in self._VIS_FOLDERS:
+            os.makedirs(os.path.join(sample_dir, folder), exist_ok=True)
+
+        outs = {}
+        for tag in ("im1", "im2"):
+            if tag not in sample:
+                return
+            im = jnp.asarray(sample[tag])[None]
+            outs[tag] = self.model.extract(variables, im, train=False)
+
+        cos = vcfg.get("loss_distance", "cos") == "cos"
+        det_name = vcfg.get("detector", "sift")
+        feats = {}
+        for tag, ctag in (("im1", "coord1"), ("im2", "coord2")):
+            o = outs[tag]
+            if det_name == "sift":
+                # SIFT passthrough (reference trainer.py:459-466): the val
+                # sample's query keypoints, unit scores
+                kps = np.asarray(sample[ctag], np.float32)[:, :2]
+                score = np.ones((len(kps), 1), np.float32)
+                kps_n = normalize_coords(jnp.asarray(kps)[None], h, w)
+            else:
+                det_cfg = dict(
+                    vcfg.get("detector_config")
+                    or {"num_pts": 512, "nms_radius": 1, "use_nms": True, "thr": False}
+                )
+                det_cfg.pop("scale", None)
+                kps_n, score_j, valid = DETECTORS[det_name](
+                    o["local_point"].astype(jnp.float32), **det_cfg
+                )
+                n = max(min(int(valid[0]), kps_n.shape[1]), 8)
+                kps_n = kps_n[:, :n]
+                kps = np.asarray(denormalize_coords(kps_n, h, w), np.float32)[0]
+                score = np.asarray(score_j, np.float32)[0, :n]
+            desc = np.asarray(
+                sample_feat_by_coord(o["local_map"], kps_n, cos), np.float32
+            )[0]
+            feats[tag] = (kps, score, desc)
+
+        k1, s1, d1 = feats["im1"]
+        k2, s2, d2 = feats["im2"]
+        matches = mnn_matcher(d1, d2)
+        mk1 = k1[matches[:, 0]] if len(matches) else np.zeros((0, 2), np.float32)
+        mk2 = k2[matches[:, 1]] if len(matches) else np.zeros((0, 2), np.float32)
+        mscore = (
+            s1[matches[:, 0], 0] + s2[matches[:, 1], 0]
+            if len(matches)
+            else np.zeros((0,), np.float32)
+        )
+        topk = min(int(vcfg.get("vis_topk", 50)), len(matches))
+        topk_idx = np.argsort(-mscore)[:topk]
+
+        # epipolar error of matched pairs, clamped (reference :491-500)
+        thr_px = float(vcfg.get("vis_err_thr", 5))
+        F12 = np.asarray(sample["F1"], np.float64)
+        if len(matches):
+            p1h = np.concatenate([mk1, np.ones((len(mk1), 1))], 1)  # [m, 3]
+            lines = p1h @ F12.T  # epipolar lines in image 2
+            lines = lines / np.maximum(
+                np.linalg.norm(lines[:, :2], axis=1, keepdims=True), 1e-8
+            )
+            p2h = np.concatenate([mk2, np.ones((len(mk2), 1))], 1)
+            epi_dist = np.clip(np.abs((p2h * lines).sum(1)), 0, thr_px)
+        else:
+            epi_dist = np.zeros((0,))
+        # RdYlGn: green = low error (reference :502-506)
+        colors = tensor2array(
+            (thr_px - epi_dist)[:, None], max_value=thr_px, colormap="RdYlGn"
+        )  # [3, m, 1]
+        colors = (255 * colors[:, :, 0].T).astype(np.uint8)  # [m, 3] RGB
+
+        im1 = np.asarray(sample["im1_ori"], np.uint8)
+        im2 = np.asarray(sample["im2_ori"], np.uint8)
+        gap = np.zeros((h, mid_pad, 3), np.uint8)
+        comb = np.concatenate([im1, gap, im2], axis=1)  # RGB
+
+        def save(folder, img_rgb):
+            cv2.imwrite(
+                os.path.join(sample_dir, folder, f"{step}.jpg"),
+                cv2.cvtColor(img_rgb, cv2.COLOR_RGB2BGR),
+            )
+
+        # 0: original pair
+        save("0_original_images", comb)
+
+        # 1: score maps side by side (colormapped)
+        sc1 = np.asarray(outs["im1"]["local_point"], np.float32)[0, :, :, 0]
+        sc2 = np.asarray(outs["im2"]["local_point"], np.float32)[0, :, :, 0]
+        sgap = np.zeros((sc1.shape[0], mid_pad), np.float32)
+        comb_score = np.concatenate([sc1, sgap, sc2], axis=1)
+        score_rgb = (
+            255 * tensor2array(comb_score).transpose(1, 2, 0)
+        ).astype(np.uint8)
+        save("1_score_maps", score_rgb)
+
+        x_off = w + mid_pad
+        green = (0, 255, 0)
+
+        # 2: all keypoints
+        img = comb.copy()
+        for x, y in k1:
+            cv2.circle(img, (int(x), int(y)), 2, green, -1)
+        for x, y in k2:
+            cv2.circle(img, (int(x) + x_off, int(y)), 2, green, -1)
+        save("2_all_keypoints", img)
+
+        # 3: matched keypoints
+        img = comb.copy()
+        for (x1p, y1p), (x2p, y2p) in zip(mk1, mk2):
+            cv2.circle(img, (int(x1p), int(y1p)), 2, green, -1)
+            cv2.circle(img, (int(x2p) + x_off, int(y2p)), 2, green, -1)
+        save("3_matched_keypoints", img)
+
+        def draw_matches(idxs):
+            img = comb.copy()
+            for mi in idxs:
+                p1 = (int(mk1[mi][0]), int(mk1[mi][1]))
+                p2 = (int(mk2[mi][0]) + x_off, int(mk2[mi][1]))
+                color = tuple(int(c) for c in colors[mi])
+                cv2.line(img, p1, p2, color, 2)
+                cv2.circle(img, p1, 2, green, -1)
+                cv2.circle(img, p2, 2, green, -1)
+            return img
+
+        # 4: top-k (by summed keypoint score) matches; 5: all matches
+        save("4_matches_less", draw_matches(topk_idx))
+        save("5_matches_all", draw_matches(range(len(matches))))

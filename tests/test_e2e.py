@@ -167,7 +167,15 @@ def _train_config(tmp_path, stage: str):
             "batch_size": 2,
             "workers": 2,
         },
-        "val_config": {"vis_topk": 20, "vis_err_thr": 5},
+        # stage-1 recipe uses the sift val detector (train_desc.yaml);
+        # stage-2 overrides with the learned detector below
+        "val_config": {
+            "detector": "sift",
+            "loss_distance": "cos",
+            "vis_topk": 20,
+            "vis_err_thr": 5,
+            "n_vis": 1,
+        },
     }
     if stage == "desc":
         base.update(
@@ -208,6 +216,18 @@ def _train_config(tmp_path, stage: str):
             }
         )
     else:
+        base["val_config"].update(
+            {
+                "detector": "generate_kpts_single",
+                "detector_config": {
+                    "num_pts": 128,
+                    "stable": True,
+                    "use_nms": True,
+                    "nms_radius": 1,
+                    "thr": False,
+                },
+            }
+        )
         base.update(
             {
                 "optimal_modules": ["localheader"],
@@ -249,10 +269,20 @@ def test_train_stage1_smoke(tmp_path):
     with open(str(tmp_path / "ckpts/smoke_desc/metrics.jsonl")) as f:
         recs = [json.loads(line) for line in f]
     assert recs and np.isfinite(recs[-1]["total_loss"])
-    # visual validation dumps (score maps + matches) were produced
-    vis_files = os.listdir(str(tmp_path / "ckpts/smoke_desc/vis"))
-    assert any("score" in f for f in vis_files)
-    assert any("matches" in f for f in vis_files)
+    # the persisted val batch (reference val_data.npz, trainer.py:136-145)
+    assert os.path.exists(str(tmp_path / "ckpts/smoke_desc/val_data.npz"))
+    # sift-val visual dumps: all six reference image sets per val sample
+    vis_root = str(tmp_path / "ckpts/smoke_desc/vis/sample0")
+    for folder in (
+        "0_original_images",
+        "1_score_maps",
+        "2_all_keypoints",
+        "3_matched_keypoints",
+        "4_matches_less",
+        "5_matches_all",
+    ):
+        files = os.listdir(os.path.join(vis_root, folder))
+        assert files, f"no vis dump in {folder}"
 
 
 @pytest.mark.slow
@@ -262,6 +292,11 @@ def test_train_stage2_smoke(tmp_path):
     t = Trainer(_train_config(tmp_path, "kp"), ckpt_root=str(tmp_path / "ckpts"))
     t.train()
     assert os.path.exists(str(tmp_path / "ckpts/smoke_kp/001/localheader.msgpack"))
+    # learned-detector val path produced the match dumps (and the log
+    # carries no silenced val_and_vis failure)
+    assert os.listdir(str(tmp_path / "ckpts/smoke_kp/vis/sample0/5_matches_all"))
+    log = open(str(tmp_path / "ckpts/smoke_kp/logging_file.txt")).read()
+    assert "val_and_vis failed" not in log
 
 
 @pytest.mark.slow
