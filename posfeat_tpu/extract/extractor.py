@@ -354,13 +354,15 @@ class Extractor:
         from concurrent.futures import ThreadPoolExecutor
 
         bs = self.batch_size
-        pending: deque = deque()
         buckets: Dict[Any, list] = {}
-        write_futs = []
         n_images = 0
-        # h5py appends are not thread-safe across workers: serialize all
-        # writes through one thread when h5 output is on
-        write_pool = ThreadPoolExecutor(1 if self.save_h5 else 4)
+        # device->host fetches and file writes run in background tasks so
+        # the main thread keeps decoding and dispatching; the host<->device
+        # link (PCIe, or a slow relay in dev environments) stays busy
+        # while the next batch computes. h5py appends are not thread-safe
+        # across workers: serialize through one task thread with h5 on.
+        fetch_pool = ThreadPoolExecutor(1 if self.save_h5 else 3)
+        fetch_futs: deque = deque()
 
         def finish(key, items, out):
             shape, det_cfg_key = key
@@ -378,9 +380,7 @@ class Extractor:
                     "desc": feat[j, :n_emit],
                     "kp_score": score[j, :n_emit],
                 }
-                write_futs.append(
-                    write_pool.submit(self._write_one, inputs, processed)
-                )
+                self._write_one(inputs, processed)
                 self.logger.info(f"{inputs['name1']}\nkpts: {n_emit}")
 
         def dispatch(key):
@@ -391,9 +391,10 @@ class Extractor:
                 ims.append(ims[-1])
             batch = jnp.asarray(np.stack(ims))
             out = self._learned_fn(shape, det_cfg_key)(self.variables, batch)
-            pending.append((key, items, out))
-            while len(pending) > 2:
-                finish(*pending.popleft())
+            fetch_futs.append(fetch_pool.submit(finish, key, items, out))
+            # bound the number of live device result buffers
+            while len(fetch_futs) > 4:
+                fetch_futs.popleft().result()
 
         for idx, inputs in self._prefetch():
             names[idx] = inputs["name1"]
@@ -405,11 +406,9 @@ class Extractor:
                 dispatch(key)
         for key in list(buckets):
             dispatch(key)
-        while pending:
-            finish(*pending.popleft())
-        write_pool.shutdown(wait=True)
-        for f in write_futs:  # surface writer errors
-            f.result()
+        while fetch_futs:  # surface fetch/write errors
+            fetch_futs.popleft().result()
+        fetch_pool.shutdown(wait=True)
         return n_images
 
     def _extract_sift(self, names: Dict[int, str]) -> int:

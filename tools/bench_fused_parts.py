@@ -146,6 +146,111 @@ def _conv_kernel_noz(tp_hbm, kph_ref, zimg_ref, b2_ref, z_ref, ssum_ref,
     ssq_ref[0, 0] = jnp.sum(acc * acc, axis=0)
 
 
+def _conv_kernel_prephase(tp_hbm, kph_ref, zimg_ref, b2_ref, z_ref, ssum_ref,
+                          ssq_ref, scratch_tp, sems, *, th, tw, cin, cout, k):
+    # z_img arrives ALREADY in phase layout: block add, no reorder
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nty_ = pl.num_programs(1)
+    ntx_ = pl.num_programs(2)
+    kk_ = k * k
+    tw_al = scratch_tp.shape[2]
+    step = (b * nty_ + i) * ntx_ + j
+    total = pl.num_programs(0) * nty_ * ntx_
+
+    def dma_for(s, slot):
+        bb = s // (nty_ * ntx_)
+        rr = s % (nty_ * ntx_)
+        return pltpu.make_async_copy(
+            tp_hbm.at[bb, pl.ds((rr // ntx_) * th, th + 2),
+                      pl.ds((rr % ntx_) * tw, tw_al), :],
+            scratch_tp.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        dma_for(step + 1, (step + 1) % 2).start()
+
+    dma_for(step, step % 2).wait()
+    tile = scratch_tp[step % 2]
+    m = th * tw
+    acc = jnp.zeros((m, kk_ * cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            blk = tile[dy : dy + th, dx : dx + tw, :].reshape(m, cin)
+            acc = acc + jax.lax.dot_general(
+                blk, kph_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc + zimg_ref[0].astype(jnp.float32).reshape(m, kk_ * cout)
+    acc = acc + b2_ref[0][None, :]
+    z_ref[0] = acc.reshape(th, tw, kk_ * cout).astype(z_ref.dtype)
+    ssum_ref[0, 0] = jnp.sum(acc, axis=0)
+    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=0)
+
+
+z_img_ph = jax.random.normal(jax.random.PRNGKey(9), (B, h, w, kk * cout), dt)
+
+
+def k1_call_prephase(trunk):
+    kph = fh._phase_kernel(k2t, k)
+    kph = jnp.pad(kph, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0))).astype(dt)
+    b2ph = jnp.tile(b2, kk)[None, :]
+    tp = jnp.pad(trunk, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 6), (0, cin_p - cin)))
+    kernel1 = functools.partial(
+        _conv_kernel_prephase, th=th, tw=tw, cin=cin_p, cout=cout, k=k
+    )
+    return pl.pallas_call(
+        kernel1,
+        grid=(B, nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 3, cin_p, kk * cout), lambda b, i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw, kk * cout), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kk * cout), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw, kk * cout), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kk * cout),
+                         lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kk * cout),
+                         lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h, w, kk * cout), dt),
+            jax.ShapeDtypeStruct((B * nty * ntx, 1, kk * cout), jnp.float32),
+            jax.ShapeDtypeStruct((B * nty * ntx, 1, kk * cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(tp, kph, z_img_ph, b2ph)
+
+
+def run_k1pre(ts):
+    def step(c, t):
+        z, s1, s2 = k1_call_prephase(t)
+        return c + jnp.sum(z[:, ::31, ::37].astype(jnp.float32)) + s1.sum(), None
+
+    acc, _ = jax.lax.scan(step, 0.0, ts)
+    return acc
+
+
 def run_k1(ts):
     def step(c, t):
         z, s1, s2 = k1_call(t, True)
@@ -234,6 +339,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "abcf"
     if "a" in which:
         timeit("K1", run_k1, (trunks,))
+    if "p" in which:
+        timeit("K1PRE(phase z_img)", run_k1pre, (trunks,))
     if "b" in which:
         timeit("K1NOZ", run_k1noz, (trunks,))
     if "c" in which:
