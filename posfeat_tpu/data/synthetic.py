@@ -29,7 +29,11 @@ def _texture(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
 class SyntheticPairs:
     """Drop-in replacement for MegaDepth_SIFT on synthetic data.
 
-    configs: {num_pairs, height, width, num_pts, random_percent?}.
+    configs: {num_pairs, height, width, num_pts, random_percent?,
+    photometric?}. `photometric: True` applies per-channel gain + gamma +
+    noise to im2 (the ColorJitter analog, megadepth.py:259-265) so
+    descriptor training must learn appearance invariance — without it a
+    random-init CNN already matches identical textures.
     """
 
     def __init__(self, configs: Dict, is_train: bool = True):
@@ -38,6 +42,7 @@ class SyntheticPairs:
         self.n = int(configs.get("num_pairs", 64))
         self.h = int(configs.get("height", 240))
         self.w = int(configs.get("width", 320))
+        self.photometric = bool(configs.get("photometric", False))
 
     def __len__(self):
         return self.n
@@ -61,6 +66,13 @@ class SyntheticPairs:
         H[2, 0] = rng.uniform(-1e-4, 1e-4)
         H[2, 1] = rng.uniform(-1e-4, 1e-4)
         im2 = cv2.warpPerspective(im1, H, (w, h), borderMode=cv2.BORDER_REFLECT)
+        if self.photometric:
+            wf = im2.astype(np.float32) / 255.0
+            gain = rng.uniform(0.5, 1.6, size=3)
+            gamma = rng.uniform(0.6, 1.6)
+            wf = np.clip(wf * gain, 0, 1) ** gamma
+            wf = np.clip(wf + rng.randn(h, w, 3) * 0.08, 0, 1)
+            im2 = (wf * 255).astype(np.uint8)
 
         # valid F for the planar scene: F = [e2]x H  (and F2 = [e1]x H^-1)
         e2 = rng.randn(3)

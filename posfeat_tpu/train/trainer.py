@@ -298,6 +298,11 @@ class Trainer:
         os.makedirs(path, exist_ok=True)
         variables = self._merge_variables(self.trainable)
         self.model.save_checkpoint(variables, path)
+        # losses that carry state may expose save_checkpoint (reference
+        # save_loss hook, trainer.py:257-261; none of the shipped losses do)
+        for _name, _w, fn in self.loss_fns:
+            if hasattr(fn, "save_checkpoint"):
+                fn.save_checkpoint(path)
         # optax states are namedtuple pytrees msgpack can't hold; store the
         # leaves (resume unflattens against a freshly-built state template)
         leaves = {

@@ -4,6 +4,8 @@ matcher behavior — no COLMAP binary required."""
 import os
 import sqlite3
 
+import pytest
+
 import numpy as np
 
 from posfeat_tpu.evals import colmap_db as cdb
@@ -168,3 +170,64 @@ def test_extraction_dataset_sharding(tmp_path, rng):
         )
         sharded.extend(d["name1"] for d in ds)
     assert sorted(sharded) == names and len(names) == 6
+
+
+@pytest.mark.slow
+def test_two_shard_extractors_share_output_root(tmp_path):
+    """Two Extractor instances with num_shards=2 writing one output_root
+    (the multi-host pattern) must not clobber or refuse each other, and
+    together must cover every image exactly once (extractor.py shard
+    logic; reference DistributedSampler analog)."""
+    import glob
+
+    from test_e2e import MODEL_CONFIG, make_mini_hpatches
+    from posfeat_tpu.extract import Extractor
+
+    data_root = str(tmp_path / "hp")
+    os.makedirs(data_root)
+    make_mini_hpatches(data_root, n_seq=2, n_img=3)  # 6 images
+
+    def cfg(shard):
+        return {
+            "output_root": "hp/shared",
+            "postfix": "s",
+            "load_path": None,
+            "loss_distance": "cos",
+            "output_desc": True,
+            "output_img": False,
+            "model": "PoSFeat",
+            "model_config": MODEL_CONFIG,
+            "data": "HPatch_SIFT",
+            "data_config_extract": {
+                "data_path": data_root,
+                "batch_size": 2,
+                "workers": 2,
+                "num_shards": 2,
+                "shard_index": shard,
+            },
+            "local_thr": 0.99,
+            "use_sift": False,
+            "detector": "generate_kpts_single",
+            "detector_config": {
+                "num_pts": 128, "stable": True, "use_nms": True,
+                "nms_radius": 1, "thr": False,
+            },
+        }
+
+    root = str(tmp_path / "ckpts")
+    n0, _ = Extractor(cfg(0), ckpt_root=root).extract()
+    # second shard into the SAME non-empty output_root must not raise
+    n1, _ = Extractor(cfg(1), ckpt_root=root).extract()
+    assert n0 + n1 == 6
+
+    files = sorted(glob.glob(os.path.join(root, "hp/shared/desc/*/*.s")))
+    assert len(files) == 6  # every image exactly once, no clobbers
+    for shard in (0, 1):
+        lst = os.path.join(root, "hp/shared/image", f"name_list.shard{shard}.txt")
+        assert os.path.exists(lst)
+    lines = sum(
+        len(open(os.path.join(root, "hp/shared/image", f"name_list.shard{s}.txt"))
+            .read().strip().splitlines())
+        for s in (0, 1)
+    )
+    assert lines == 6

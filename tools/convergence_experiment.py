@@ -43,7 +43,9 @@ H, W = 96, 128
 
 
 def make_eval_fixture(root, n_seq=4, n_img=6, seed=77):
-    """HPatches-layout eval sequences with rotation/scale/illumination."""
+    """HPatches-layout eval sequences with rotation/scale + strong
+    photometric nuisance (per-channel gain, gamma, noise) — hard enough
+    that a random-init CNN's descriptors degrade substantially."""
     import cv2
 
     from posfeat_tpu.data.synthetic import _texture
@@ -57,21 +59,22 @@ def make_eval_fixture(root, n_seq=4, n_img=6, seed=77):
         cv2.imwrite(os.path.join(seq, "1.ppm"), cv2.cvtColor(base, cv2.COLOR_RGB2BGR))
         for ii in range(2, n_img + 1):
             center = (W / 2, H / 2)
-            angle = rng.uniform(-12, 12)
-            scale = rng.uniform(0.92, 1.08)
+            angle = rng.uniform(-20, 20)
+            scale = rng.uniform(0.85, 1.15)
             M = cv2.getRotationMatrix2D(center, angle, scale)
             Hm = np.eye(3)
             Hm[:2, :] = M
-            Hm[0, 2] += rng.uniform(-6, 6)
-            Hm[1, 2] += rng.uniform(-6, 6)
+            Hm[0, 2] += rng.uniform(-8, 8)
+            Hm[1, 2] += rng.uniform(-8, 8)
             warped = cv2.warpPerspective(
                 base, Hm, (W, H), borderMode=cv2.BORDER_REFLECT
             )
-            if kind == "i":
-                gain = rng.uniform(0.6, 1.4)
-                warped = np.clip(warped.astype(np.float32) * gain, 0, 255).astype(
-                    np.uint8
-                )
+            wf = warped.astype(np.float32) / 255.0
+            gain = rng.uniform(0.5, 1.6, size=3)
+            gamma = rng.uniform(0.6, 1.6)
+            wf = np.clip(wf * gain, 0, 1) ** gamma
+            wf = np.clip(wf + rng.randn(H, W, 3) * 0.08, 0, 1)
+            warped = (wf * 255).astype(np.uint8)
             cv2.imwrite(
                 os.path.join(seq, f"{ii}.ppm"),
                 cv2.cvtColor(warped, cv2.COLOR_RGB2BGR),
@@ -95,12 +98,13 @@ def train_config(root, stage, steps, load_path=None):
         "model_config": MODEL_CONFIG,
         "data": "SyntheticPairs",
         "data_config_train": {
-            "num_pairs": 64,
+            "num_pairs": 256,
             "height": H,
             "width": W,
             "num_pts": 128,
             "batch_size": 4,
             "workers": 4,
+            "photometric": True,
         },
         "val_config": None,
         "load_path": load_path,
