@@ -30,10 +30,16 @@ class SyntheticPairs:
     """Drop-in replacement for MegaDepth_SIFT on synthetic data.
 
     configs: {num_pairs, height, width, num_pts, random_percent?,
-    photometric?}. `photometric: True` applies per-channel gain + gamma +
-    noise to im2 (the ColorJitter analog, megadepth.py:259-265) so
-    descriptor training must learn appearance invariance — without it a
-    random-init CNN already matches identical textures.
+    photometric?, num_scenes?}. `photometric: True` applies per-channel
+    gain + gamma + noise to im2 (the ColorJitter analog,
+    megadepth.py:259-265) so descriptor training must learn appearance
+    invariance — without it a random-init CNN already matches identical
+    textures. `num_scenes: K` reuses K base textures across the pairs so
+    each scene is observed under num_pairs/K different epipolar
+    geometries — epipolar supervision only pins the true correspondence
+    at the intersection of several line constraints (MegaDepth gives
+    this for free; one-geometry-per-texture data lets the loss be gamed
+    by aligning similarity ridges along each pair's single line).
     """
 
     def __init__(self, configs: Dict, is_train: bool = True):
@@ -43,6 +49,7 @@ class SyntheticPairs:
         self.h = int(configs.get("height", 240))
         self.w = int(configs.get("width", 320))
         self.photometric = bool(configs.get("photometric", False))
+        self.num_scenes = int(configs.get("num_scenes", 0))  # 0: 1 per pair
 
     def __len__(self):
         return self.n
@@ -52,7 +59,11 @@ class SyntheticPairs:
 
         rng = np.random.RandomState(1000 + item)
         h, w = self.h, self.w
-        im1 = _texture(rng, h, w)
+        if self.num_scenes:
+            tex_rng = np.random.RandomState(2000 + item % self.num_scenes)
+            im1 = _texture(tex_rng, h, w)
+        else:
+            im1 = _texture(rng, h, w)
 
         # random homography: mild perspective + rotation + translation
         center = np.array([w / 2, h / 2])

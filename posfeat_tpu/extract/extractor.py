@@ -215,9 +215,9 @@ class Extractor:
         # which numpy can only represent as opaque void16 — the npz/h5
         # feature-file contract (and every downstream consumer) is f32
         return {
-            "kpt": np.asarray(coords[0, :n_emit], np.float32),
-            "desc": np.asarray(feat[0, :n_emit], np.float32),
-            "kp_score": np.asarray(score[0, :n_emit], np.float32),
+            "kpt": np.asarray(coords[0, :n_emit]).astype(np.float32),
+            "desc": np.asarray(feat[0, :n_emit]).astype(np.float32),
+            "kp_score": np.asarray(score[0, :n_emit]).astype(np.float32),
         }
 
     # ----------------------------------------------------------- writers
@@ -367,9 +367,12 @@ class Extractor:
         def finish(key, items, out):
             shape, det_cfg_key = key
             coords, score, feat, valid = out
-            coords = np.asarray(coords, np.float32)
-            score = np.asarray(score, np.float32)
-            feat = np.asarray(feat, np.float32)
+            # fetch in the DEVICE dtype and convert on host: converting
+            # bf16->f32 on device before the transfer would double the
+            # bytes over the host<->device link
+            coords = np.asarray(coords).astype(np.float32)
+            score = np.asarray(score).astype(np.float32)
+            feat = np.asarray(feat).astype(np.float32)
             valid = np.asarray(valid)
             num_pts = self.config[det_cfg_key]["num_pts"]
             for j, inputs in enumerate(items):

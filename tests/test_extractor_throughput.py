@@ -58,19 +58,23 @@ def measure_io_bound_ips(batch=16, num_pts=8192, c=128):
     valid) slates exactly as the Extractor does."""
     import time
 
-    up = np.random.randint(0, 255, (batch, H, W, 3), np.uint8)
-    coords = jnp.zeros((batch, num_pts, 2), jnp.float32)
-    score = jnp.zeros((batch, num_pts, 1), jnp.float32)
-    feat = jnp.zeros((batch, num_pts, c), jnp.bfloat16)
+    # random payloads: constant tensors compress over relay links and
+    # make the bound look fantastically high
+    rng = np.random.RandomState(0)
+    up = rng.randint(0, 255, (batch, H, W, 3)).astype(np.uint8)
+    key = jax.random.PRNGKey(0)
+    coords = jax.random.uniform(key, (batch, num_pts, 2), jnp.float32)
+    score = jax.random.uniform(key, (batch, num_pts, 1), jnp.float32)
+    feat = jax.random.uniform(key, (batch, num_pts, c)).astype(jnp.bfloat16)
     valid = jnp.zeros((batch,), jnp.int32)
     jax.block_until_ready((coords, score, feat, valid))
 
     def once():
         x = jnp.asarray(up)
         x.block_until_ready()
-        np.asarray(coords, np.float32)
-        np.asarray(score, np.float32)
-        np.asarray(feat, np.float32)
+        np.asarray(coords)
+        np.asarray(score)
+        np.asarray(feat)
         np.asarray(valid)
 
     once()  # warm

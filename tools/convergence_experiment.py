@@ -99,6 +99,7 @@ def train_config(root, stage, steps, load_path=None):
         "data": "SyntheticPairs",
         "data_config_train": {
             "num_pairs": 256,
+            "num_scenes": 32,  # 8 geometries per scene: line constraints intersect
             "height": H,
             "width": W,
             "num_pts": 128,
