@@ -353,27 +353,42 @@ class Extractor:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        import threading
+
         bs = self.batch_size
         buckets: Dict[Any, list] = {}
         n_images = 0
-        # device->host fetches and file writes run in background tasks so
-        # the main thread keeps decoding and dispatching; the host<->device
-        # link (PCIe, or a slow relay in dev environments) stays busy
-        # while the next batch computes. h5py appends are not thread-safe
-        # across workers: serialize through one task thread with h5 on.
-        fetch_pool = ThreadPoolExecutor(1 if self.save_h5 else 3)
+        # host<->device transfers are strictly serialized: links (PCIe,
+        # and especially relay tunnels in dev environments) deliver best
+        # throughput to ONE stream at a time — measured on the axon
+        # relay, 3 concurrent fetches collapse aggregate bandwidth ~10x
+        # (30 MB/s -> 3.5), and an upload running during a fetch is ~50x
+        # worse (0.6 MB/s). So fetches run on one dedicated thread and
+        # uploads take the same lock; device EXECUTION still overlaps
+        # transfers fine (measured 25 MB/s fetch while the device was
+        # busy). File writes fan out on a separate pool so disk IO also
+        # overlaps the wire; h5py appends are not thread-safe across
+        # workers: one writer with h5 on.
+        io_lock = threading.Lock()
+        fetch_pool = ThreadPoolExecutor(1)
+        write_pool = ThreadPoolExecutor(1 if self.save_h5 else 4)
         fetch_futs: deque = deque()
+        write_futs: deque = deque()
+
+        def write_one(inputs, processed, n_emit):
+            self._write_one(inputs, processed)
+            self.logger.info(f"{inputs['name1']}\nkpts: {n_emit}")
 
         def finish(key, items, out):
             shape, det_cfg_key = key
-            coords, score, feat, valid = out
             # fetch in the DEVICE dtype and convert on host: converting
             # bf16->f32 on device before the transfer would double the
             # bytes over the host<->device link
-            coords = np.asarray(coords).astype(np.float32)
-            score = np.asarray(score).astype(np.float32)
-            feat = np.asarray(feat).astype(np.float32)
-            valid = np.asarray(valid)
+            with io_lock:
+                coords, score, feat, valid = [np.asarray(o) for o in out]
+            coords = coords.astype(np.float32)
+            score = score.astype(np.float32)
+            feat = feat.astype(np.float32)
             num_pts = self.config[det_cfg_key]["num_pts"]
             for j, inputs in enumerate(items):
                 # reference dynamic count (putils:249-261)
@@ -383,8 +398,9 @@ class Extractor:
                     "desc": feat[j, :n_emit],
                     "kp_score": score[j, :n_emit],
                 }
-                self._write_one(inputs, processed)
-                self.logger.info(f"{inputs['name1']}\nkpts: {n_emit}")
+                write_futs.append(
+                    write_pool.submit(write_one, inputs, processed, n_emit)
+                )
 
         def dispatch(key):
             items = buckets.pop(key)
@@ -392,7 +408,10 @@ class Extractor:
             ims = [np.asarray(it["im1_ori"], np.uint8) for it in items]
             while len(ims) < bs:  # pad partial bucket: same program
                 ims.append(ims[-1])
-            batch = jnp.asarray(np.stack(ims))
+            stacked = np.stack(ims)
+            with io_lock:  # never upload while a fetch is in flight
+                batch = jnp.asarray(stacked)
+                batch.block_until_ready()
             out = self._learned_fn(shape, det_cfg_key)(self.variables, batch)
             fetch_futs.append(fetch_pool.submit(finish, key, items, out))
             # bound the number of live device result buffers
@@ -409,9 +428,12 @@ class Extractor:
                 dispatch(key)
         for key in list(buckets):
             dispatch(key)
-        while fetch_futs:  # surface fetch/write errors
+        while fetch_futs:  # surface fetch errors
             fetch_futs.popleft().result()
+        while write_futs:  # surface write errors
+            write_futs.popleft().result()
         fetch_pool.shutdown(wait=True)
+        write_pool.shutdown(wait=True)
         return n_images
 
     def _extract_sift(self, names: Dict[int, str]) -> int:

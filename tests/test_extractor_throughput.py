@@ -55,11 +55,17 @@ def make_images(root, n=N_IMAGES):
 def measure_io_bound_ips(batch=16, num_pts=8192, c=128):
     """Images/s if the host<->device link were the only cost: per batch,
     upload the uint8 images and download the (coords, scores, descriptors,
-    valid) slates exactly as the Extractor does."""
+    valid) slates exactly as the Extractor does.
+
+    Two measurement traps, both hit in earlier revisions: (a) constant
+    tensors compress over relay links, so payloads must be random; (b) a
+    jax.Array caches its host copy after the first device_get, so
+    re-fetching the same buffers measures memcpy, not the wire — every
+    iteration must fetch FRESH device buffers. Fetches are serial, like
+    the Extractor's single fetch thread (concurrent fetches collapse
+    relay bandwidth ~10x)."""
     import time
 
-    # random payloads: constant tensors compress over relay links and
-    # make the bound look fantastically high
     rng = np.random.RandomState(0)
     up = rng.randint(0, 255, (batch, H, W, 3)).astype(np.uint8)
     key = jax.random.PRNGKey(0)
@@ -67,22 +73,23 @@ def measure_io_bound_ips(batch=16, num_pts=8192, c=128):
     score = jax.random.uniform(key, (batch, num_pts, 1), jnp.float32)
     feat = jax.random.uniform(key, (batch, num_pts, c)).astype(jnp.bfloat16)
     valid = jnp.zeros((batch,), jnp.int32)
+    bump = jax.jit(lambda t, s: jax.tree.map(lambda x: x + s.astype(x.dtype), t))
     jax.block_until_ready((coords, score, feat, valid))
 
-    def once():
+    def once(i):
+        # fresh device buffers -> genuine transfers, never cached copies
+        out = bump((coords, score, feat, valid), jnp.float32(i + 1))
+        jax.block_until_ready(out)
+        up[0, 0, 0, 0] = i  # defeat host-side upload caching too
         x = jnp.asarray(up)
         x.block_until_ready()
-        np.asarray(coords)
-        np.asarray(score)
-        np.asarray(feat)
-        np.asarray(valid)
-
-    once()  # warm
-    ts = []
-    for _ in range(2):
         t0 = time.perf_counter()
-        once()
-        ts.append(time.perf_counter() - t0)
+        for o in out:
+            np.asarray(o)
+        return time.perf_counter() - t0
+
+    once(0)  # warm (compiles bump)
+    ts = [once(i) for i in range(1, 3)]
     return batch / min(ts)
 
 

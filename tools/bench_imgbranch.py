@@ -86,7 +86,7 @@ def _patches(im):
         filter_shape=(8, 8),
         window_strides=(4, 4),
         padding=[(2, 1), (2, 1)],
-        dimension_numbers=("NHWC", "NHWC", "NHWC"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return p
 
@@ -130,7 +130,7 @@ def run_s(ims):
             filter_shape=(3, 3),
             window_strides=(1, 1),
             padding=[(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "NHWC", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )  # [B, H, W, 27]
         pf = p.reshape(B, H * W, 27)
         gram = jnp.einsum(
