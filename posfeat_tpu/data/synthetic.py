@@ -50,6 +50,10 @@ class SyntheticPairs:
         self.w = int(configs.get("width", 320))
         self.photometric = bool(configs.get("photometric", False))
         self.num_scenes = int(configs.get("num_scenes", 0))  # 0: 1 per pair
+        # nuisance magnitudes (defaults match the original mild recipe)
+        self.rot_max = float(configs.get("rot_max", 15.0))
+        self.scale_lo, self.scale_hi = configs.get("scale_range", (0.9, 1.1))
+        self.photo_strength = float(configs.get("photo_strength", 1.0))
 
     def __len__(self):
         return self.n
@@ -67,8 +71,8 @@ class SyntheticPairs:
 
         # random homography: mild perspective + rotation + translation
         center = np.array([w / 2, h / 2])
-        angle = rng.uniform(-15, 15)
-        scale = rng.uniform(0.9, 1.1)
+        angle = rng.uniform(-self.rot_max, self.rot_max)
+        scale = rng.uniform(self.scale_lo, self.scale_hi)
         M = cv2.getRotationMatrix2D(tuple(center), angle, scale)
         H = np.eye(3)
         H[:2, :] = M
@@ -78,11 +82,12 @@ class SyntheticPairs:
         H[2, 1] = rng.uniform(-1e-4, 1e-4)
         im2 = cv2.warpPerspective(im1, H, (w, h), borderMode=cv2.BORDER_REFLECT)
         if self.photometric:
+            s = self.photo_strength
             wf = im2.astype(np.float32) / 255.0
-            gain = rng.uniform(0.5, 1.6, size=3)
-            gamma = rng.uniform(0.6, 1.6)
-            wf = np.clip(wf * gain, 0, 1) ** gamma
-            wf = np.clip(wf + rng.randn(h, w, 3) * 0.08, 0, 1)
+            gain = 1.0 + (rng.uniform(0.5, 1.6, size=3) - 1.0) * s
+            gamma = 1.0 + (rng.uniform(0.6, 1.6) - 1.0) * s
+            wf = np.clip(wf * gain, 0, 1) ** max(gamma, 0.05)
+            wf = np.clip(wf + rng.randn(h, w, 3) * 0.08 * s, 0, 1)
             im2 = (wf * 255).astype(np.uint8)
 
         # valid F for the planar scene: F = [e2]x H  (and F2 = [e1]x H^-1)

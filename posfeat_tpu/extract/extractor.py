@@ -374,9 +374,19 @@ class Extractor:
         write_pool = ThreadPoolExecutor(1 if self.save_h5 else 4)
         fetch_futs: deque = deque()
         write_futs: deque = deque()
+        # aggregate seconds per pipeline phase (logged at the end when
+        # POSFEAT_EXTRACT_TIMING=1); 'decode' and 'upload' accrue on the
+        # main thread, 'fetch'/'convert' on the fetch thread, 'write' on
+        # the write pool — phases on different threads overlap, so they
+        # need not sum to the wall time
+        timing = {"decode": 0.0, "upload": 0.0, "dispatch": 0.0,
+                  "fetch": 0.0, "convert": 0.0, "write": 0.0}
+        want_timing = os.environ.get("POSFEAT_EXTRACT_TIMING") == "1"
 
         def write_one(inputs, processed, n_emit):
+            t0 = time.perf_counter()
             self._write_one(inputs, processed)
+            timing["write"] += time.perf_counter() - t0
             self.logger.info(f"{inputs['name1']}\nkpts: {n_emit}")
 
         def finish(key, items, out):
@@ -384,11 +394,15 @@ class Extractor:
             # fetch in the DEVICE dtype and convert on host: converting
             # bf16->f32 on device before the transfer would double the
             # bytes over the host<->device link
+            t0 = time.perf_counter()
             with io_lock:
                 coords, score, feat, valid = [np.asarray(o) for o in out]
+            t1 = time.perf_counter()
+            timing["fetch"] += t1 - t0
             coords = coords.astype(np.float32)
             score = score.astype(np.float32)
             feat = feat.astype(np.float32)
+            timing["convert"] += time.perf_counter() - t1
             num_pts = self.config[det_cfg_key]["num_pts"]
             for j, inputs in enumerate(items):
                 # reference dynamic count (putils:249-261)
@@ -409,16 +423,22 @@ class Extractor:
             while len(ims) < bs:  # pad partial bucket: same program
                 ims.append(ims[-1])
             stacked = np.stack(ims)
+            t0 = time.perf_counter()
             with io_lock:  # never upload while a fetch is in flight
                 batch = jnp.asarray(stacked)
                 batch.block_until_ready()
+            t1 = time.perf_counter()
+            timing["upload"] += t1 - t0
             out = self._learned_fn(shape, det_cfg_key)(self.variables, batch)
+            timing["dispatch"] += time.perf_counter() - t1
             fetch_futs.append(fetch_pool.submit(finish, key, items, out))
             # bound the number of live device result buffers
             while len(fetch_futs) > 4:
                 fetch_futs.popleft().result()
 
+        t_prev = time.perf_counter()
         for idx, inputs in self._prefetch():
+            timing["decode"] += time.perf_counter() - t_prev
             names[idx] = inputs["name1"]
             n_images += 1
             H, W = inputs["im1_ori"].shape[:2]
@@ -426,6 +446,7 @@ class Extractor:
             buckets.setdefault(key, []).append(inputs)
             if len(buckets[key]) == bs:
                 dispatch(key)
+            t_prev = time.perf_counter()
         for key in list(buckets):
             dispatch(key)
         while fetch_futs:  # surface fetch errors
@@ -434,6 +455,11 @@ class Extractor:
             write_futs.popleft().result()
         fetch_pool.shutdown(wait=True)
         write_pool.shutdown(wait=True)
+        if want_timing:
+            self.logger.info(
+                "pipeline seconds: "
+                + " ".join(f"{k}={v:.2f}" for k, v in timing.items())
+            )
         return n_images
 
     def _extract_sift(self, names: Dict[int, str]) -> int:

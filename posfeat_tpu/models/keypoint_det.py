@@ -506,6 +506,8 @@ class KeypointDet(nn.Module):
             # fully fused Pallas tail (forward-only; extraction path).
             # conv3 params use nn.Conv-compatible names/shapes so
             # checkpoints are interchangeable with the XLA dataflows.
+            # The image-branch conv2 half runs inside the kernel (v2
+            # dataflow) — the driver receives the IN'd image features.
             from ..ops.pallas.fused_head import fused_head_tail
 
             k3, b3 = _Conv2Params(
@@ -513,8 +515,9 @@ class KeypointDet(nn.Module):
             )()
             score = fused_head_tail(
                 trunk,
-                conv2_img_part(),
+                img,
                 k2[:, :, : self.in_channels, :],
+                k2[:, :, self.in_channels :, :],
                 b2,
                 k3,
                 b3,

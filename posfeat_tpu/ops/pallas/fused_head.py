@@ -83,6 +83,7 @@ def _conv_kernel(
     cin: int,
     cout: int,
     k: int,
+    zt: bool = False,
 ):
     """z = phase_conv(trunk) + z_img + b2 for one tile, plus IN partial
     moments. The trunk halo window is DMA'd HBM->VMEM with two buffers:
@@ -135,8 +136,120 @@ def _conv_kernel(
             )
 
     # image-branch: [k*th, k*tw, Cout] full-res block -> phase layout
-    zi = zimg_ref[0].astype(jnp.float32)
+    zi = (zimg_ref[...] if zt else zimg_ref[0]).astype(jnp.float32)
     zi = zi.reshape(th, k, tw, k, cout).transpose(0, 2, 1, 3, 4)
+    acc = acc + zi.reshape(m, kk * cout)
+    acc = acc + b2_ref[0][None, :]
+
+    z_ref[0] = acc.reshape(th, tw, kk * cout).astype(z_ref.dtype)
+    ssum_ref[0, 0] = jnp.sum(acc, axis=0)
+    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=0)
+
+
+def _conv_kernel_v2(
+    tp_hbm,  # [B, h+2, w+8+..., Cin_p]  (ANY/HBM; double-buffered halo DMA)
+    yp_hbm,  # [B, k*h+2, k*w+8, Cy] (ANY/HBM; zero-padded image feats)
+    kph_ref,  # [3, 3, Cin_p, KK*Cout] VMEM (grid-invariant)
+    wimg_ref,  # [3, 3, Cy, Cout] VMEM
+    b2_ref,  # [1, KK*Cout] VMEM
+    z_ref,  # out: [1, th, tw, KK*Cout]
+    ssum_ref,  # out: [1, 1, KK*Cout]  (flat tile index)
+    ssq_ref,  # out: [1, 1, KK*Cout]
+    scratch_tp,  # VMEM [2, th+2, tw+8, Cin_p]
+    scratch_y,  # VMEM [2, k*th+2, k*tw+8, Cy]
+    sems,  # DMA semaphores [2]
+    sems_y,  # DMA semaphores [2]
+    *,
+    th: int,
+    tw: int,
+    cin: int,
+    cout: int,
+    k: int,
+):
+    """Like _conv_kernel, but the image branch's 3x3 conv over the
+    (zero-padded) normalized image features runs IN the kernel instead of
+    consuming a precomputed full-resolution z_img: XLA's conv emits a
+    B-interleaved physical tiling that costs a full-res relayout to feed
+    Mosaic, and the z_img HBM round-trip is pure bandwidth (measured
+    ~1.1 ms/img of pad/concat/relayout fusions at bs=16 bf16 480x640).
+    The conv here is 9 MXU matmuls contracting Cy=64 — half-lane
+    contraction costs one extra half-used MXU pass per tap, far cheaper
+    than the XLA-side data movement it replaces."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nty = pl.num_programs(1)
+    ntx = pl.num_programs(2)
+    kk = k * k
+    tw_al = scratch_tp.shape[2]
+    kth = k * th
+    ktw = k * tw
+    ytw_al = scratch_y.shape[2]
+    cy = scratch_y.shape[3]
+
+    step = (b * nty + i) * ntx + j
+    total = pl.num_programs(0) * nty * ntx
+
+    def dmas_for(s, slot):
+        bb = s // (nty * ntx)
+        rr = s % (nty * ntx)
+        ii = rr // ntx
+        jj = rr % ntx
+        return (
+            pltpu.make_async_copy(
+                tp_hbm.at[bb, pl.ds(ii * th, th + 2), pl.ds(jj * tw, tw_al), :],
+                scratch_tp.at[slot],
+                sems.at[slot],
+            ),
+            pltpu.make_async_copy(
+                yp_hbm.at[
+                    bb, pl.ds(ii * kth, kth + 2), pl.ds(jj * ktw, ytw_al), :
+                ],
+                scratch_y.at[slot],
+                sems_y.at[slot],
+            ),
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for d in dmas_for(0, 0):
+            d.start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        for d in dmas_for(step + 1, (step + 1) % 2):
+            d.start()
+
+    for d in dmas_for(step, step % 2):
+        d.wait()
+    tile = scratch_tp[step % 2]
+    tile_y = scratch_y[step % 2]
+
+    m = th * tw
+    acc = jnp.zeros((m, kk * cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            blk = tile[dy : dy + th, dx : dx + tw, :].reshape(m, cin)
+            acc = acc + jax.lax.dot_general(
+                blk,
+                kph_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    # image branch: out[T, X] = sum_dy,dx K2img[dy,dx] . ypad[T+dy, X+dx]
+    mi = kth * ktw
+    zacc = jnp.zeros((mi, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            blk = tile_y[dy : dy + kth, dx : dx + ktw, :].reshape(mi, cy)
+            zacc = zacc + jax.lax.dot_general(
+                blk,
+                wimg_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    zi = zacc.reshape(th, k, tw, k, cout).transpose(0, 2, 1, 3, 4)
     acc = acc + zi.reshape(m, kk * cout)
     acc = acc + b2_ref[0][None, :]
 
@@ -201,8 +314,9 @@ def _pick_tile(n: int, pref: int) -> int:
 
 def fused_head_tail(
     trunk,
-    z_img,
+    img_feat,
     k2_trunk,
+    k2_img,
     b2,
     w3,
     b3,
@@ -214,28 +328,48 @@ def fused_head_tail(
     debug_intermediates: bool = False,
 ):
     """Public wrapper: resolves the kernel tile sizes (env-tunable via
-    POSFEAT_HEAD_T1/T2, format "th,tw") OUTSIDE the jit so changing them
-    invalidates the compile cache."""
+    POSFEAT_HEAD_T1/T2, format "th,tw") and dataflow switches OUTSIDE the
+    jit so changing them invalidates the compile cache.
+
+    img_feat is the instance-normalized image-branch feature map
+    [B, k*h, k*w, Cy]; its 3x3 conv2 half runs inside kernel 1 by
+    default (POSFEAT_HEAD_V2=0 restores the XLA conv + z_img operand)."""
     import os
 
     _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,32").split(",")
     _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,32").split(",")
     tiles = (int(_t1[0]), int(_t1[1]), int(_t2[0]), int(_t2[1]))
+    # zt (transpose-bitcast z_img) is numerically exact but NOT a win:
+    # XLA replaces the relayout copy with an equally priced tiled
+    # reshape — the conv's B-interleaved physical tiling can't feed
+    # W-tiled kernel blocks without data movement. Kept for experiments
+    # on the v1 (z_img) path.
+    zt = os.environ.get("POSFEAT_HEAD_ZT", "0") == "1" and not interpret
+    # v2 (in-kernel image conv) is numerically exact but NOT the default:
+    # Mosaic rejects the 64-channel halo DMA ("slice along dim 3 must be
+    # aligned to tiling (128)"), and the A/B numbers showed the XLA-side
+    # data movement it saves (~0.53 ms/img) is nearly cancelled by the
+    # extra half-lane MXU passes in-kernel. Kept for interpret-mode
+    # experiments; the default path is v1 (XLA conv2img + z_img operand).
+    v2 = os.environ.get("POSFEAT_HEAD_V2", "0") == "1"
     return _fused_head_tail(
-        trunk, z_img, k2_trunk, b2, w3, b3, prelu_a,
+        trunk, img_feat, k2_trunk, k2_img, b2, w3, b3, prelu_a,
         act=act, k=k, eps=eps, interpret=interpret,
-        debug_intermediates=debug_intermediates, tiles=tiles,
+        debug_intermediates=debug_intermediates, tiles=tiles, zt=zt, v2=v2,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "k", "interpret", "debug_intermediates", "tiles"),
+    static_argnames=(
+        "act", "k", "interpret", "debug_intermediates", "tiles", "zt", "v2"
+    ),
 )
 def _fused_head_tail(
     trunk: jnp.ndarray,  # [B, h, w, Cin] (post conv1+IN+PReLU)
-    z_img: jnp.ndarray,  # [B, k*h, k*w, Cout] (img-branch conv2 output)
+    img_feat: jnp.ndarray,  # [B, k*h, k*w, Cy] (IN'd image features)
     k2_trunk: jnp.ndarray,  # [3, 3, Cin, Cout] f32
+    k2_img: jnp.ndarray,  # [3, 3, Cy, Cout] f32
     b2: jnp.ndarray,  # [Cout]
     w3: jnp.ndarray,  # [1, 1, Cout, out] conv3 kernel
     b3: jnp.ndarray,  # [out]
@@ -246,19 +380,42 @@ def _fused_head_tail(
     interpret: bool = False,
     debug_intermediates: bool = False,
     tiles=(8, 32, 8, 32),
+    zt: bool = False,
+    v2: bool = True,
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
     Equivalent to (DeteNet.py:108-113, identity prior):
-        z = conv3x3_zeropad(upsample_x4(trunk)) + z_img + b2
+        z = conv3x3_zeropad(upsample_x4(trunk))
+            + conv3x3_zeropad(img_feat) + b2
         x = prelu(instance_norm(z)); u = conv1x1(x) + b3
         score = act(instance_norm(u))
     """
     B, h, w, cin = trunk.shape
     cout = k2_trunk.shape[3]
+    cy = k2_img.shape[2]
     out_ch = w3.shape[-1]
     kk = k * k
     dt = trunk.dtype
+
+    th = _pick_tile(h, tiles[0])
+    tw = _pick_tile(w, tiles[1])
+    nty, ntx = h // th, w // tw
+    th2 = _pick_tile(h, tiles[2])
+    tw2 = _pick_tile(w, tiles[3])
+    nty2, ntx2 = h // th2, w // tw2
+    Hf, Wf = k * h, k * w
+
+    if not v2:
+        # v1 path: the image-branch conv2 half runs in XLA
+        z_img = jax.lax.conv_general_dilated(
+            img_feat,
+            k2_img.astype(dt),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(dt)
 
     # Force canonical (row-major) layouts on the tensors that feed the
     # Mosaic kernels. Embedded in a larger XLA program, conv outputs can
@@ -269,16 +426,25 @@ def _fused_head_tail(
         from jax.experimental.layout import Layout, with_layout_constraint
 
         canon4 = Layout((0, 1, 2, 3))
-        trunk, z_img = with_layout_constraint(
-            (trunk, z_img), (canon4, canon4)
-        )
-
-    th = _pick_tile(h, tiles[0])
-    tw = _pick_tile(w, tiles[1])
-    nty, ntx = h // th, w // tw
-    th2 = _pick_tile(h, tiles[2])
-    tw2 = _pick_tile(w, tiles[3])
-    nty2, ntx2 = h // th2, w // tw2
+        if v2:
+            trunk, img_feat = with_layout_constraint(
+                (trunk, img_feat), (canon4, canon4)
+            )
+        elif zt:
+            # [B,Hf,Wf,C] in the conv-preferred {3,0,2,1} layout is
+            # bit-identical to canonical [Hf,Wf,B,C]; flatten (B,C) so
+            # the Mosaic block avoids a singleton dim (rejected as
+            # "layout with implicit dimension")
+            z_img = jnp.transpose(z_img, (1, 2, 0, 3)).reshape(
+                Hf, Wf, B * cout
+            )
+            trunk, z_img = with_layout_constraint(
+                (trunk, z_img), (canon4, Layout((0, 1, 2)))
+            )
+        else:
+            trunk, z_img = with_layout_constraint(
+                (trunk, z_img), (canon4, canon4)
+            )
 
     # lane-align the contraction dim for the halo DMA (the MXU tiles K by
     # 128 internally, so zero-padded channels cost nothing extra)
@@ -292,56 +458,138 @@ def _fused_head_tail(
     tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 6), (0, cin_p - cin)))
 
     grid = (B, nty, ntx)
-    kernel1 = functools.partial(
-        _conv_kernel, th=th, tw=tw, cin=cin_p, cout=cout, k=k
-    )
-    z, ssum, ssq = pl.pallas_call(
-        kernel1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # tp (manual halo DMA)
-            pl.BlockSpec(
-                (3, 3, cin_p, kk * cout),
-                lambda b, i, j: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, k * th, k * tw, cout),
-                lambda b, i, j: (b, i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, kk * cout), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, th, tw, kk * cout),
-                lambda b, i, j: (b, i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, kk * cout),
-                lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, kk * cout),
-                lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, h, w, kk * cout), dt),
-            jax.ShapeDtypeStruct((B * nty * ntx, 1, kk * cout), jnp.float32),
-            jax.ShapeDtypeStruct((B * nty * ntx, 1, kk * cout), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(tp, kph, z_img, b2ph)
+    if v2:
+        # zero-padded image features: ONE fused pad materialization (the
+        # IN-apply elementwise chain fuses into it); the kernel DMAs
+        # halo windows out of it directly
+        ktw = k * tw
+        yp = jnp.pad(
+            img_feat.astype(dt), ((0, 0), (1, 1), (1, 7), (0, 0))
+        )  # [B, Hf+2, Wf+8, cy]
+        wimg = k2_img.astype(dt)  # [3, 3, cy, cout]
+
+        kernel1 = functools.partial(
+            _conv_kernel_v2, th=th, tw=tw, cin=cin_p, cout=cout, k=k
+        )
+        z, ssum, ssq = pl.pallas_call(
+            kernel1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # tp (manual halo DMA)
+                pl.BlockSpec(memory_space=pl.ANY),  # yp (manual halo DMA)
+                pl.BlockSpec(
+                    (3, 3, cin_p, kk * cout),
+                    lambda b, i, j: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (3, 3, cy, cout),
+                    lambda b, i, j: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, kk * cout),
+                    lambda b, i, j: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, th, tw, kk * cout),
+                    lambda b, i, j: (b, i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk * cout),
+                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk * cout),
+                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, h, w, kk * cout), dt),
+                jax.ShapeDtypeStruct(
+                    (B * nty * ntx, 1, kk * cout), jnp.float32
+                ),
+                jax.ShapeDtypeStruct(
+                    (B * nty * ntx, 1, kk * cout), jnp.float32
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt),
+                pltpu.VMEM((2, k * th + 2, ktw + 8, cy), dt),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(tp, yp, kph, wimg, b2ph)
+    else:
+        kernel1 = functools.partial(
+            _conv_kernel, th=th, tw=tw, cin=cin_p, cout=cout, k=k, zt=zt
+        )
+        z, ssum, ssq = pl.pallas_call(
+            kernel1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # tp (manual halo DMA)
+                pl.BlockSpec(
+                    (3, 3, cin_p, kk * cout),
+                    lambda b, i, j: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (k * th, k * tw, cout),
+                    lambda b, i, j: (i, j, b),
+                    memory_space=pltpu.VMEM,
+                )
+                if zt
+                else pl.BlockSpec(
+                    (1, k * th, k * tw, cout),
+                    lambda b, i, j: (b, i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, kk * cout),
+                    lambda b, i, j: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, th, tw, kk * cout),
+                    lambda b, i, j: (b, i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk * cout),
+                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk * cout),
+                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, h, w, kk * cout), dt),
+                jax.ShapeDtypeStruct(
+                    (B * nty * ntx, 1, kk * cout), jnp.float32
+                ),
+                jax.ShapeDtypeStruct(
+                    (B * nty * ntx, 1, kk * cout), jnp.float32
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(tp, kph, z_img, b2ph)
 
     # ---- thin-strip border corrections (XLA; O(perimeter) work) ----
     # kernel z carries the clamped-composite values; the reference

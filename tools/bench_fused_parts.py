@@ -31,9 +31,12 @@ nty, ntx = h // th, w // tw
 N_SCAN = 4
 dt = jnp.bfloat16
 
-keys = jax.random.split(jax.random.PRNGKey(0), 6)
+cy = 64
+keys = jax.random.split(jax.random.PRNGKey(0), 7)
 trunks = jax.random.normal(keys[0], (N_SCAN, B, h, w, cin), dt)
 z_img = jax.random.normal(keys[1], (B, 4 * h, 4 * w, cout), dt)
+img_feat = jax.random.normal(keys[6], (B, 4 * h, 4 * w, cy), dt)
+k2i = jax.random.normal(keys[6], (3, 3, cy, cout), jnp.float32) * 0.05
 k2t = jax.random.normal(keys[2], (3, 3, cin, cout), jnp.float32) * 0.05
 b2 = jax.random.normal(keys[3], (cout,), jnp.float32) * 0.05
 w3 = jax.random.normal(keys[4], (1, 1, cout, out_ch), jnp.float32) * 0.05
@@ -328,7 +331,9 @@ def run_k2(zts):
 
 def run_full(ts):
     def step(c, t):
-        s = fh.fused_head_tail(t, z_img, k2t, b2, w3, b3, a, act="Softplus")
+        s = fh.fused_head_tail(
+            t, img_feat, k2t, k2i, b2, w3, b3, a, act="Softplus"
+        )
         return c + jnp.sum(s[:, ::63, ::61].astype(jnp.float32)), None
 
     acc, _ = jax.lax.scan(step, 0.0, ts)

@@ -5,7 +5,11 @@ on a harder synthetic-HPatches fixture (rotation + scale + illumination
 changes), and prints MMA@3px for random init vs trained weights, plus a
 stage-2 DiskLoss run with reward trends.
 
-POSFEAT_PLATFORM=cpu python tools/convergence_experiment.py [steps]
+POSFEAT_PLATFORM=cpu python tools/convergence_experiment.py [steps] [w_g] [w_w]
+(w_g/w_w: EpipolarLoss grid/window weights for the stage-1 run; the
+reference recipe is 0/1, but from random init the dense grid term is the
+stronger learning signal — the line-search window supervision depends on
+already-useful descriptors.)
 """
 
 import json
@@ -42,10 +46,19 @@ MODEL_CONFIG = {
 H, W = 96, 128
 
 
+ROT_MAX = 30.0
+SCALE_RANGE = (0.7, 1.3)
+PHOTO_STRENGTH = 1.3
+
+
 def make_eval_fixture(root, n_seq=4, n_img=6, seed=77):
-    """HPatches-layout eval sequences with rotation/scale + strong
-    photometric nuisance (per-channel gain, gamma, noise) — hard enough
-    that a random-init CNN's descriptors degrade substantially."""
+    """HPatches-layout eval sequences drawn from the SAME nuisance
+    distribution SyntheticPairs trains on (rotation, scale, translation,
+    per-channel gain + gamma + noise) but with unseen textures — an
+    in-distribution generalization probe. The magnitudes are cranked
+    high enough (ROT_MAX/SCALE_RANGE/PHOTO_STRENGTH) that a random-init
+    CNN's descriptors degrade substantially, leaving headroom for
+    training to demonstrate improvement."""
     import cv2
 
     from posfeat_tpu.data.synthetic import _texture
@@ -59,27 +72,32 @@ def make_eval_fixture(root, n_seq=4, n_img=6, seed=77):
         cv2.imwrite(os.path.join(seq, "1.ppm"), cv2.cvtColor(base, cv2.COLOR_RGB2BGR))
         for ii in range(2, n_img + 1):
             center = (W / 2, H / 2)
-            angle = rng.uniform(-20, 20)
-            scale = rng.uniform(0.85, 1.15)
+            angle = rng.uniform(-ROT_MAX, ROT_MAX)
+            scale = rng.uniform(*SCALE_RANGE)
             M = cv2.getRotationMatrix2D(center, angle, scale)
             Hm = np.eye(3)
             Hm[:2, :] = M
-            Hm[0, 2] += rng.uniform(-8, 8)
-            Hm[1, 2] += rng.uniform(-8, 8)
+            Hm[0, 2] += rng.uniform(-0.05, 0.05) * W
+            Hm[1, 2] += rng.uniform(-0.05, 0.05) * H
             warped = cv2.warpPerspective(
                 base, Hm, (W, H), borderMode=cv2.BORDER_REFLECT
             )
+            s = PHOTO_STRENGTH
             wf = warped.astype(np.float32) / 255.0
-            gain = rng.uniform(0.5, 1.6, size=3)
-            gamma = rng.uniform(0.6, 1.6)
-            wf = np.clip(wf * gain, 0, 1) ** gamma
-            wf = np.clip(wf + rng.randn(H, W, 3) * 0.08, 0, 1)
+            gain = 1.0 + (rng.uniform(0.5, 1.6, size=3) - 1.0) * s
+            gamma = 1.0 + (rng.uniform(0.6, 1.6) - 1.0) * s
+            wf = np.clip(wf * gain, 0, 1) ** max(gamma, 0.05)
+            wf = np.clip(wf + rng.randn(H, W, 3) * 0.08 * s, 0, 1)
             warped = (wf * 255).astype(np.uint8)
             cv2.imwrite(
                 os.path.join(seq, f"{ii}.ppm"),
                 cv2.cvtColor(warped, cv2.COLOR_RGB2BGR),
             )
             np.savetxt(os.path.join(seq, f"H_1_{ii}"), Hm)
+
+
+W_G = 0.0
+W_W = 1.0
 
 
 def train_config(root, stage, steps, load_path=None):
@@ -106,6 +124,9 @@ def train_config(root, stage, steps, load_path=None):
             "batch_size": 4,
             "workers": 4,
             "photometric": True,
+            "rot_max": ROT_MAX,
+            "scale_range": SCALE_RANGE,
+            "photo_strength": PHOTO_STRENGTH,
         },
         "val_config": None,
         "load_path": load_path,
@@ -143,8 +164,8 @@ def train_config(root, stage, steps, load_path=None):
                     "grid_cost_thr": 0.5,
                     "win_cost_thr": 0.1,
                     "use_std_as_weight": True,
-                    "weight_grid": 0,
-                    "weight_window": 1,
+                    "weight_grid": W_G,
+                    "weight_window": W_W,
                 },
             }
         )
@@ -175,7 +196,11 @@ def train_config(root, stage, steps, load_path=None):
     return base
 
 
-def extract_and_mma(tag, data_root, work, load_path):
+def extract_and_mma(tag, data_root, work, load_path, use_sift=False):
+    """use_sift=True is the reference's stage-1 val protocol
+    (train_desc.yaml val detector 'sift'): fixed OpenCV-SIFT keypoints +
+    our descriptors, isolating descriptor quality from the (untrained in
+    stage 1) score head."""
     from posfeat_tpu.extract import Extractor
     from posfeat_tpu.evals import hpatches as hp
 
@@ -195,7 +220,7 @@ def extract_and_mma(tag, data_root, work, load_path):
             "workers": 4,
         },
         "local_thr": 0.99,
-        "use_sift": False,
+        "use_sift": use_sift,
         "detector": "generate_kpts_single",
         "detector_config": {
             "num_pts": 512,
@@ -217,7 +242,13 @@ def extract_and_mma(tag, data_root, work, load_path):
 
 
 def main():
+    global W_G, W_W
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    if len(sys.argv) > 2:
+        W_G = float(sys.argv[2])
+    if len(sys.argv) > 3:
+        W_W = float(sys.argv[3])
+    print(f"stage-1 loss weights: w_g={W_G} w_w={W_W}")
     work = tempfile.mkdtemp(prefix="convergence_")
     print("work dir:", work)
     data_root = os.path.join(work, "hp_eval")
@@ -228,8 +259,12 @@ def main():
 
     import time
 
-    mma_rand = extract_and_mma("random", data_root, work, None)
-    print(json.dumps({"mma3_random_init": mma_rand}))
+    # stage-1 metric: SIFT keypoints + our descriptors (the reference's
+    # stage-1 val protocol) — the score head is untrained in stage 1, so
+    # learned-detector MMA would conflate descriptor progress with
+    # random-head drift
+    mma_rand = extract_and_mma("random", data_root, work, None, use_sift=True)
+    print(json.dumps({"mma3_sift_random_init": mma_rand}))
 
     t0 = time.time()
     tr = Trainer(
@@ -238,8 +273,16 @@ def main():
     tr.train()
     print(f"stage-1 {steps} steps in {time.time() - t0:.1f}s")
     ck1 = os.path.join(work, "ckpts", "conv_desc", "001")
-    mma_tr = extract_and_mma("trained", data_root, work, ck1)
-    print(json.dumps({"mma3_random_init": mma_rand, "mma3_stage1": mma_tr}))
+    mma_tr = extract_and_mma("trained", data_root, work, ck1, use_sift=True)
+    print(
+        json.dumps(
+            {"mma3_sift_random_init": mma_rand, "mma3_sift_stage1": mma_tr}
+        )
+    )
+    # learned-detector baseline at stage 1 (random head) for the
+    # stage-2 detector attribution below
+    mma_lr1 = extract_and_mma("stage1_learned", data_root, work, ck1)
+    print(json.dumps({"mma3_learned_stage1": mma_lr1}))
 
     # stage 2: head-only DiskLoss; track reward trend
     t0 = time.time()
@@ -266,9 +309,10 @@ def main():
     print(
         json.dumps(
             {
-                "mma3_random_init": mma_rand,
-                "mma3_stage1": mma_tr,
-                "mma3_stage2": mma_kp,
+                "mma3_sift_random_init": mma_rand,
+                "mma3_sift_stage1": mma_tr,
+                "mma3_learned_stage1": mma_lr1,
+                "mma3_learned_stage2": mma_kp,
             }
         )
     )
