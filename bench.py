@@ -124,7 +124,7 @@ def main():
         configs = [(1, jnp.float32)]
     for bs, dt in configs:
         try:
-            ips = bench_extraction(bs, dt, n_scan=2 if backend == "cpu" else 8)
+            ips = bench_extraction(bs, dt, n_scan=2 if backend == "cpu" else 16)
             results[f"bs{bs}_{dt.__name__}"] = ips
             print(
                 f"# extraction bs={bs} dtype={dt.__name__}: {ips:.2f} im/s",

@@ -471,7 +471,32 @@ class KeypointDet(nn.Module):
         trunk = prelu(
             instance_norm(conv(self.in_channels, 3, "conv1")(x_pf * fine_map))
         )
-        img = instance_norm(conv(64, 3, "convimg")(x_pi * img_tensor))
+        # image branch conv via raw params (nn.Conv-compatible names and
+        # init) so the Pallas dataflow can fold convimg+IN+conv2img into
+        # one composite kernel; stats replicate instance_norm exactly
+        kimg, bimg = _Conv2Params((3, 3, 3, 64), name="convimg")()
+        s_img = (x_pi * img_tensor).astype(self.dtype)
+        y_img = jax.lax.conv_general_dilated(
+            s_img,
+            kimg.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + bimg.astype(self.dtype)
+        y32 = y_img.astype(jnp.float32)
+        n_i = y_img.shape[1] * y_img.shape[2]
+        s1_i = jnp.sum(y32, axis=(1, 2))
+        s2_i = jnp.sum(y32 * y32, axis=(1, 2))
+        mu_img = s1_i / n_i
+        var_img = jnp.maximum(s2_i / n_i - mu_img * mu_img, 0.0)
+        a_img = jax.lax.rsqrt(var_img + 1e-5)
+
+        def img_feat():
+            # IN-applied image features for the non-Pallas dataflows
+            return (
+                (y32 - mu_img[:, None, None, :]) * a_img[:, None, None, :]
+            ).astype(self.dtype)
 
         H, W = img_tensor.shape[1:3]
         h, w = trunk.shape[1:3]
@@ -494,7 +519,7 @@ class KeypointDet(nn.Module):
         def conv2_img_part():
             # image-branch half of conv2 (shared by all fused dataflows)
             return jax.lax.conv_general_dilated(
-                img,
+                img_feat(),
                 k2[:, :, self.in_channels :, :].astype(self.dtype),
                 window_strides=(1, 1),
                 padding=[(1, 1), (1, 1)],
@@ -506,8 +531,9 @@ class KeypointDet(nn.Module):
             # fully fused Pallas tail (forward-only; extraction path).
             # conv3 params use nn.Conv-compatible names/shapes so
             # checkpoints are interchangeable with the XLA dataflows.
-            # The image-branch conv2 half runs inside the kernel (v2
-            # dataflow) — the driver receives the IN'd image features.
+            # The image branch ships as raw ingredients (scaled image,
+            # unnormalized convimg output, IN stats, kernels) — the
+            # driver folds them into a composite stride-4 conv (v3).
             from ..ops.pallas.fused_head import fused_head_tail
 
             k3, b3 = _Conv2Params(
@@ -515,7 +541,12 @@ class KeypointDet(nn.Module):
             )()
             score = fused_head_tail(
                 trunk,
-                img,
+                s_img,
+                y_img,
+                mu_img,
+                a_img,
+                kimg,
+                bimg,
                 k2[:, :, : self.in_channels, :],
                 k2[:, :, self.in_channels :, :],
                 b2,
@@ -547,7 +578,7 @@ class KeypointDet(nn.Module):
             )
         else:
             xu = interpolate_bilinear(trunk, (H, W), align_corners=False)
-            xcat = jnp.concatenate([xu, img], axis=-1)
+            xcat = jnp.concatenate([xu, img_feat()], axis=-1)
             x = jax.lax.conv_general_dilated(
                 xcat,
                 k2.astype(self.dtype),

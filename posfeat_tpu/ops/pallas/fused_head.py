@@ -258,6 +258,114 @@ def _conv_kernel_v2(
     ssq_ref[0, 0] = jnp.sum(acc * acc, axis=0)
 
 
+def _conv_kernel_v3(
+    tp_hbm,  # [B, h+2, w+8+..., Cin_p]  (ANY/HBM; double-buffered halo DMA)
+    kph_ref,  # [3, 3, Cin_p, KK*Cout] VMEM (grid-invariant)
+    p_ref,  # [1, th, tw, 256] VMEM block: stride-4 8x8x3 image patches
+    w_ref,  # [1, 256, KK*Cout] VMEM (per-batch composite weights)
+    b2b_ref,  # [1, 1, KK*Cout] VMEM (per-batch bias incl. composite b_z)
+    z_ref,  # out: [1, th, tw, KK*Cout]
+    ssum_ref,  # out: [1, 1, KK*Cout]  (flat tile index)
+    ssq_ref,  # out: [1, 1, KK*Cout]
+    scratch_tp,  # VMEM [2, th+2, tw+8, Cin_p]  (double buffer)
+    sems,  # DMA semaphores [2]
+    *,
+    th: int,
+    tw: int,
+    cin: int,
+    cout: int,
+    k: int,
+    tri: bool = False,
+):
+    """v3: the whole image branch (convimg 3->64, instance norm, conv2's
+    image half 64->128) is collapsed into ONE per-image composite 5x5
+    3->128 kernel (IN is affine given its precomputed statistics, so
+    C2 . IN . C1 = K5 * s + b_z with K5[g] = sum_{e+f=g} C1[f] diag(a)
+    C2[e]) evaluated in PHASE layout as a single MXU matmul against
+    stride-4 8x8 image patches. This removes the reference dataflow's
+    full-resolution 64->128 conv (~45 GF/img -> 5.9 GF), the conv-layout
+    relayout copy, and the in-kernel phase reorder of z_img; the patch
+    operand is 10x fewer bytes than the z_img block it replaces. Border
+    ring (2 px, where composite-of-zero-pads != zero-pad-of-composite)
+    is corrected in the driver. Matches DeteNet.py:110-112 image branch.
+
+    tri=True consumes ROW-TRIPLED trunk input (tp3[r] = [tp[r]; tp[r+1];
+    tp[r+2]] along channels, 3*Cin lane-padded): the 9 per-tap matmuls
+    (each K=Cin padded to 128k) become 3 matmuls of K=3*Cin, cutting the
+    MXU pass count from ceil(Cin/128)*2*9 to ceil(3*Cin/128)*3 passes
+    (192ch: 18 -> 15)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nty = pl.num_programs(1)
+    ntx = pl.num_programs(2)
+    kk = k * k
+    tw_al = scratch_tp.shape[2]
+
+    step = (b * nty + i) * ntx + j
+    total = pl.num_programs(0) * nty * ntx
+
+    def dma_for(s, slot):
+        bb = s // (nty * ntx)
+        rr = s % (nty * ntx)
+        ii = rr // ntx
+        jj = rr % ntx
+        rows = pl.ds(ii * th, th) if tri else pl.ds(ii * th, th + 2)
+        return pltpu.make_async_copy(
+            tp_hbm.at[bb, rows, pl.ds(jj * tw, tw_al), :],
+            scratch_tp.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        dma_for(step + 1, (step + 1) % 2).start()
+
+    dma_for(step, step % 2).wait()
+    tile = scratch_tp[step % 2]
+
+    m = th * tw
+    acc = jnp.zeros((m, kk * cout), jnp.float32)
+    if tri:
+        ktrip = scratch_tp.shape[3]
+        for dx in range(3):
+            blk = tile[0:th, dx : dx + tw, :].reshape(m, ktrip)
+            acc = acc + jax.lax.dot_general(
+                blk,
+                kph_ref[dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        for dy in range(3):
+            for dx in range(3):
+                blk = tile[dy : dy + th, dx : dx + tw, :].reshape(m, cin)
+                acc = acc + jax.lax.dot_general(
+                    blk,
+                    kph_ref[dy, dx],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+    # composite image branch: one matmul, output already in phase order
+    pm = p_ref[0].reshape(m, p_ref.shape[3])
+    acc = acc + jax.lax.dot_general(
+        pm,
+        w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + b2b_ref[0, 0][None, :]
+
+    z_ref[0] = acc.reshape(th, tw, kk * cout).astype(z_ref.dtype)
+    ssum_ref[0, 0] = jnp.sum(acc, axis=0)
+    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=0)
+
+
 # --------------------------------------------------------------- kernel 2
 
 
@@ -312,9 +420,87 @@ def _pick_tile(n: int, pref: int) -> int:
     return 1
 
 
+
+
+def _img_ring_deltas(s, y, mu, a, K5, k2i, b_z, Hf, Wf):
+    """f32 deltas (composite − exact) of the image branch on the 2-px
+    border ring, where composite-of-zero-pads != zero-pad-of-composite.
+
+    s: [B, Hf, Wf, 3] prior-scaled image (strips are padded locally so no
+    full-resolution padded copy is ever materialized); y: [B, Hf, Wf, Cy]
+    UNnormalized convimg output; mu/a: [B, Cy] IN statistics; K5:
+    [B, 5, 5, 3, Cout] f32 composite kernel; b_z: [B, Cout] composite
+    bias fold. Returns (G_top, G_bot) [B, 2, Wf, Cout] and
+    (G_left, G_right) [B, Hf, 2, Cout]."""
+    f32 = jnp.float32
+    B = y.shape[0]
+    cout = k2i.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+
+    # slice BEFORE converting: casting the full-res tensors to f32
+    # materializes ~80 MB/img copies (measured 0.38 ms/img for y alone);
+    # the ring only ever reads 3-4-wide strips
+    def strip32(x, sl):
+        return x[sl].astype(f32)
+    k2i32 = k2i.astype(f32)
+    # rows of K5cm ordered (c, gy, gx) to match conv_general_dilated_patches
+    K5cm = K5.transpose(0, 3, 1, 2, 4).reshape(B, 75, cout)
+    K5Tcm = K5.transpose(0, 3, 2, 1, 4).reshape(B, 75, cout)  # gy<->gx
+
+    def row_deltas(strip6, y3, pad_rows, K5m, k2m):
+        # strip6 [B, 6, W+4, 3]; y3 [B, 3, W, Cy] (borderless rows)
+        pt = jax.lax.conv_general_dilated_patches(
+            strip6, (5, 5), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [B, 2, W, 3*25] with feature order (c, gy, gx)
+        comp = (
+            jnp.einsum("brxk,bkh->brxh", pt, K5m, precision=hi)
+            + b_z[:, None, None, :]
+        )
+        yin = (y3 - mu[:, None, None, :]) * a[:, None, None, :]
+        yin = jnp.pad(yin, ((0, 0), pad_rows, (1, 1), (0, 0)))
+        ex = jax.lax.conv_general_dilated(
+            yin, k2m, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=hi,
+        )
+        return comp - ex  # [B, 2, W, Cout]
+
+    # 6-wide padded strips of the virtual 2-px zero-pad of s, built from
+    # small slices (rows of spad2 [0..5] = 2 zero rows + s rows 0..3)
+    idx = jnp.index_exp
+    st_top = jnp.pad(strip32(s, idx[:, :4]), ((0, 0), (2, 0), (2, 2), (0, 0)))
+    st_bot = jnp.pad(strip32(s, idx[:, -4:]), ((0, 0), (0, 2), (2, 2), (0, 0)))
+    st_left = jnp.pad(
+        strip32(s, idx[:, :, :4]), ((0, 0), (2, 2), (2, 0), (0, 0))
+    )
+    st_right = jnp.pad(
+        strip32(s, idx[:, :, -4:]), ((0, 0), (2, 2), (0, 2), (0, 0))
+    )
+
+    G_top = row_deltas(st_top, strip32(y, idx[:, :3]), (1, 0), K5cm, k2i32)
+    G_bot = row_deltas(st_bot, strip32(y, idx[:, -3:]), (0, 1), K5cm, k2i32)
+    k2T = k2i32.transpose(1, 0, 2, 3)
+    G_left = row_deltas(
+        st_left.transpose(0, 2, 1, 3),
+        strip32(y, idx[:, :, :3]).transpose(0, 2, 1, 3),
+        (1, 0), K5Tcm, k2T,
+    ).transpose(0, 2, 1, 3)  # [B, Hf, 2, Cout]
+    G_right = row_deltas(
+        st_right.transpose(0, 2, 1, 3),
+        strip32(y, idx[:, :, -3:]).transpose(0, 2, 1, 3),
+        (0, 1), K5Tcm, k2T,
+    ).transpose(0, 2, 1, 3)
+    return G_top, G_bot, G_left, G_right
+
+
 def fused_head_tail(
     trunk,
-    img_feat,
+    img_s,
+    img_y,
+    img_mu,
+    img_a,
+    k1_img,
+    b1_img,
     k2_trunk,
     k2_img,
     b2,
@@ -328,46 +514,58 @@ def fused_head_tail(
     debug_intermediates: bool = False,
 ):
     """Public wrapper: resolves the kernel tile sizes (env-tunable via
-    POSFEAT_HEAD_T1/T2, format "th,tw") and dataflow switches OUTSIDE the
-    jit so changing them invalidates the compile cache.
+    POSFEAT_HEAD_T1/T2, format "th,tw") and the dataflow mode OUTSIDE
+    the jit so changing them invalidates the compile cache.
 
-    img_feat is the instance-normalized image-branch feature map
-    [B, k*h, k*w, Cy]; its 3x3 conv2 half runs inside kernel 1 by
-    default (POSFEAT_HEAD_V2=0 restores the XLA conv + z_img operand)."""
+    Image-branch operands (all produced by KeypointDet):
+      img_s  [B, k*h, k*w, 3]  prior-scaled raw image (convimg input)
+      img_y  [B, k*h, k*w, Cy] convimg output, UNnormalized
+      img_mu / img_a [B, Cy]   its instance-norm mean / rsqrt(var+eps)
+      k1_img/b1_img            convimg kernel [3,3,3,Cy] and bias
+      k2_img                   image half of conv2 [3,3,Cy,Cout]
+
+    POSFEAT_HEAD_MODE selects the dataflow:
+      v3 (default) — composite stride-4 image branch inside kernel 1
+      v1 — XLA conv2img + full-res z_img operand
+      v2 — in-kernel image conv from a padded feature operand
+           (interpret-only: Mosaic rejects the 64-lane halo DMA)
+    """
     import os
 
     _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,32").split(",")
     _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,32").split(",")
     tiles = (int(_t1[0]), int(_t1[1]), int(_t2[0]), int(_t2[1]))
-    # zt (transpose-bitcast z_img) is numerically exact but NOT a win:
-    # XLA replaces the relayout copy with an equally priced tiled
-    # reshape — the conv's B-interleaved physical tiling can't feed
-    # W-tiled kernel blocks without data movement. Kept for experiments
-    # on the v1 (z_img) path.
+    # zt (transpose-bitcast z_img, v1 only) is numerically exact but NOT
+    # a win: XLA replaces the relayout copy with an equally priced tiled
+    # reshape. Kept for experiments.
     zt = os.environ.get("POSFEAT_HEAD_ZT", "0") == "1" and not interpret
-    # v2 (in-kernel image conv) is numerically exact but NOT the default:
-    # Mosaic rejects the 64-channel halo DMA ("slice along dim 3 must be
-    # aligned to tiling (128)"), and the A/B numbers showed the XLA-side
-    # data movement it saves (~0.53 ms/img) is nearly cancelled by the
-    # extra half-lane MXU passes in-kernel. Kept for interpret-mode
-    # experiments; the default path is v1 (XLA conv2img + z_img operand).
-    v2 = os.environ.get("POSFEAT_HEAD_V2", "0") == "1"
+    mode = os.environ.get("POSFEAT_HEAD_MODE", "v3")
+    assert mode in ("v1", "v2", "v3"), mode
+    tri = os.environ.get("POSFEAT_HEAD_TRIPLE", "0") == "1" and mode == "v3"
     return _fused_head_tail(
-        trunk, img_feat, k2_trunk, k2_img, b2, w3, b3, prelu_a,
+        trunk, img_s, img_y, img_mu, img_a, k1_img, b1_img,
+        k2_trunk, k2_img, b2, w3, b3, prelu_a,
         act=act, k=k, eps=eps, interpret=interpret,
-        debug_intermediates=debug_intermediates, tiles=tiles, zt=zt, v2=v2,
+        debug_intermediates=debug_intermediates, tiles=tiles, zt=zt,
+        mode=mode, tri=tri,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "act", "k", "interpret", "debug_intermediates", "tiles", "zt", "v2"
+        "act", "k", "interpret", "debug_intermediates", "tiles", "zt",
+        "mode", "tri",
     ),
 )
 def _fused_head_tail(
     trunk: jnp.ndarray,  # [B, h, w, Cin] (post conv1+IN+PReLU)
-    img_feat: jnp.ndarray,  # [B, k*h, k*w, Cy] (IN'd image features)
+    img_s: jnp.ndarray,  # [B, k*h, k*w, 3] prior-scaled raw image
+    img_y: jnp.ndarray,  # [B, k*h, k*w, Cy] convimg output (no IN)
+    img_mu: jnp.ndarray,  # [B, Cy] IN mean of img_y (f32)
+    img_a: jnp.ndarray,  # [B, Cy] IN rsqrt(var+eps) of img_y (f32)
+    k1_img: jnp.ndarray,  # [3, 3, 3, Cy] convimg kernel (f32)
+    b1_img: jnp.ndarray,  # [Cy] convimg bias (f32)
     k2_trunk: jnp.ndarray,  # [3, 3, Cin, Cout] f32
     k2_img: jnp.ndarray,  # [3, 3, Cy, Cout] f32
     b2: jnp.ndarray,  # [Cout]
@@ -381,13 +579,14 @@ def _fused_head_tail(
     debug_intermediates: bool = False,
     tiles=(8, 32, 8, 32),
     zt: bool = False,
-    v2: bool = True,
+    mode: str = "v3",
+    tri: bool = False,
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
     Equivalent to (DeteNet.py:108-113, identity prior):
         z = conv3x3_zeropad(upsample_x4(trunk))
-            + conv3x3_zeropad(img_feat) + b2
+            + conv3x3_zeropad(IN(conv3x3_zeropad(img_s) + b1)) + b2
         x = prelu(instance_norm(z)); u = conv1x1(x) + b3
         score = act(instance_norm(u))
     """
@@ -397,6 +596,8 @@ def _fused_head_tail(
     out_ch = w3.shape[-1]
     kk = k * k
     dt = trunk.dtype
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
 
     th = _pick_tile(h, tiles[0])
     tw = _pick_tile(w, tiles[1])
@@ -406,16 +607,71 @@ def _fused_head_tail(
     nty2, ntx2 = h // th2, w // tw2
     Hf, Wf = k * h, k * w
 
-    if not v2:
-        # v1 path: the image-branch conv2 half runs in XLA
-        z_img = jax.lax.conv_general_dilated(
-            img_feat,
-            k2_img.astype(dt),
-            window_strides=(1, 1),
-            padding=[(1, 1), (1, 1)],
+    mu32 = img_mu.astype(f32)
+    a32 = img_a.astype(f32)
+
+    # ------------------- image-branch prep per mode -------------------
+    K5 = None
+    b_z = None
+    if mode == "v3":
+        assert k == 4, "composite image branch derived for the x4 head"
+        C1 = k1_img.astype(f32)
+        C2 = k2_img.astype(f32)
+        A1 = C1[None] * a32[:, None, None, None, :]  # [B,3,3,3,Cy]
+        K5 = jnp.zeros((B, 5, 5, 3, cout), f32)
+        for ey in range(3):
+            for ex in range(3):
+                T9 = jnp.einsum(
+                    "bfgcm,mh->bfgch", A1, C2[ey, ex], precision=hi
+                )
+                K5 = K5 + jnp.pad(
+                    T9, ((0, 0), (ey, 2 - ey), (ex, 2 - ex), (0, 0), (0, 0))
+                )
+        b_z = jnp.einsum(
+            "bm,mh->bh",
+            (b1_img.astype(f32)[None, :] - mu32) * a32,
+            C2.sum((0, 1)),
+            precision=hi,
+        )  # [B, Cout]
+        # stride-4 overlapping 8x8x3 patches of the 2-px zero-pad of s as
+        # ONE conv-patches op (any manual build materializes full-res
+        # 3-channel intermediates, which are ~40x lane-padded on TPU and
+        # measured +0.6 ms/img); channel order is (c, oy, ox), lane-pad
+        # 192->256 for the kernel operand
+        s_dt = img_s.astype(dt)
+        P = jax.lax.conv_general_dilated_patches(
+            s_dt, (2 * k, 2 * k), (k, k), [(2, 2), (2, 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, h, w, 3*64]
+        pch = 256
+        P = jnp.pad(P, ((0, 0), (0, 0), (0, 0), (0, pch - 192))).astype(dt)
+        # W[(c,oy,ox), (ry,rx,f)] = K5[oy-ry, ox-rx, c, f] (zero outside)
+        emb = [
+            jnp.pad(K5, ((0, 0), (ry, 3 - ry), (rx, 3 - rx), (0, 0), (0, 0)))
+            for ry in range(k)
+            for rx in range(k)
+        ]
+        Wt = jnp.stack(emb, -2)  # [B, 8, 8, 3, kk, Cout]
+        Wm = Wt.transpose(0, 3, 1, 2, 4, 5).reshape(B, 192, kk * cout)
+        Wm = jnp.pad(Wm, ((0, 0), (0, pch - 192), (0, 0))).astype(dt)
+        b2b = (
+            jnp.tile(b2.astype(f32), kk)[None, :] + jnp.tile(b_z, (1, kk))
+        )[:, None, :]  # [B, 1, kk*Cout]
+    else:
+        # exact image-branch features (the IN-applied convimg output)
+        img_feat = (
+            (img_y.astype(f32) - mu32[:, None, None, :])
+            * a32[:, None, None, :]
         ).astype(dt)
+        if mode == "v1":
+            z_img = jax.lax.conv_general_dilated(
+                img_feat,
+                k2_img.astype(dt),
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=hi,
+            ).astype(dt)
 
     # Force canonical (row-major) layouts on the tensors that feed the
     # Mosaic kernels. Embedded in a larger XLA program, conv outputs can
@@ -426,10 +682,12 @@ def _fused_head_tail(
         from jax.experimental.layout import Layout, with_layout_constraint
 
         canon4 = Layout((0, 1, 2, 3))
-        if v2:
-            trunk, img_feat = with_layout_constraint(
-                (trunk, img_feat), (canon4, canon4)
+        if mode == "v3":
+            trunk, P, Wm = with_layout_constraint(
+                (trunk, P, Wm), (canon4, canon4, Layout((0, 1, 2)))
             )
+        elif mode == "v2":
+            trunk = with_layout_constraint(trunk, canon4)
         elif zt:
             # [B,Hf,Wf,C] in the conv-preferred {3,0,2,1} layout is
             # bit-identical to canonical [Hf,Wf,B,C]; flatten (B,C) so
@@ -458,10 +716,105 @@ def _fused_head_tail(
     tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 6), (0, cin_p - cin)))
 
     grid = (B, nty, ntx)
-    if v2:
+    if mode == "v3":
+        if tri:
+            # row-tripled trunk: tp3[r] = [tp[r]; tp[r+1]; tp[r+2]],
+            # 3*Cin channels lane-padded — 3 matmuls/tile instead of 9
+            cin3 = 3 * cin
+            cin3_p = ((cin3 + 127) // 128) * 128
+            tpe = jnp.pad(trunk, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            tpe = jnp.pad(tpe, ((0, 0), (0, 0), (0, 6), (0, 0)))
+            tp = jnp.concatenate(
+                [tpe[:, :-2], tpe[:, 1:-1], tpe[:, 2:]], axis=-1
+            )
+            tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 0), (0, cin3_p - cin3)))
+            kphu = _phase_kernel(k2_trunk, k)  # [3,3,cin,kk*cout] f32
+            kph = jnp.stack(
+                [
+                    jnp.pad(
+                        jnp.concatenate(
+                            [kphu[0, dx], kphu[1, dx], kphu[2, dx]], axis=0
+                        ),
+                        ((0, cin3_p - cin3), (0, 0)),
+                    )
+                    for dx in range(3)
+                ]
+            ).astype(dt)  # [3, cin3_p, kk*cout]
+            kph_spec = pl.BlockSpec(
+                (3, cin3_p, kk * cout),
+                lambda b, i, j: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            scratch1 = pltpu.VMEM((2, th, tw + 8, cin3_p), dt)
+        else:
+            kph_spec = pl.BlockSpec(
+                (3, 3, cin_p, kk * cout),
+                lambda b, i, j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            scratch1 = pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt)
+        kernel1 = functools.partial(
+            _conv_kernel_v3, th=th, tw=tw, cin=cin_p, cout=cout, k=k, tri=tri
+        )
+        z, ssum, ssq = pl.pallas_call(
+            kernel1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # tp (manual halo DMA)
+                kph_spec,
+                pl.BlockSpec(
+                    (1, th, tw, pch),
+                    lambda b, i, j: (b, i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, pch, kk * cout),
+                    lambda b, i, j: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk * cout),
+                    lambda b, i, j: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, th, tw, kk * cout),
+                    lambda b, i, j: (b, i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk * cout),
+                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, kk * cout),
+                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, h, w, kk * cout), dt),
+                jax.ShapeDtypeStruct(
+                    (B * nty * ntx, 1, kk * cout), jnp.float32
+                ),
+                jax.ShapeDtypeStruct(
+                    (B * nty * ntx, 1, kk * cout), jnp.float32
+                ),
+            ],
+            scratch_shapes=[
+                scratch1,
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(tp, kph, P, Wm, b2b)
+    elif mode == "v2":
         # zero-padded image features: ONE fused pad materialization (the
         # IN-apply elementwise chain fuses into it); the kernel DMAs
-        # halo windows out of it directly
+        # halo windows out of it directly. NOTE: Mosaic rejects the
+        # 64-lane halo DMA on real TPUs — interpret/testing only.
         ktw = k * tw
         yp = jnp.pad(
             img_feat.astype(dt), ((0, 0), (1, 1), (1, 7), (0, 0))
@@ -592,34 +945,68 @@ def _fused_head_tail(
         )(tp, kph, z_img, b2ph)
 
     # ---- thin-strip border corrections (XLA; O(perimeter) work) ----
-    # kernel z carries the clamped-composite values; the reference
-    # zero-pads the upsampled map, differing on the outermost full-res
-    # ring by the strips T/Bo/L/R. Compute the exact ring values, correct
-    # the IN1 statistics analytically, and later rewrite u's ring — conv3
-    # is 1x1, so interior pixels are untouched by ring errors.
-    Hf, Wf = k * h, k * w
-    f32 = jnp.float32
+    # kernel z carries the clamped-composite trunk values (ring width 1:
+    # strips T/Bo/L/R) and, in v3, the composite image-branch values
+    # (ring width 2: strips G_*). Compute the exact ring values, correct
+    # the IN1 statistics analytically, and later rewrite u's ring —
+    # conv3 is 1x1, so interior pixels are untouched by ring errors.
+    if mode == "v3":
+        G_top, G_bot, G_left, G_right = _img_ring_deltas(
+            img_s, img_y, mu32, a32, K5, k2_img, b_z, Hf, Wf
+        )
+        row_ids = [0, 1, k - 2, k - 1]
+        col_ids = [0, 1, k - 2, k - 1]
+        margin = 2
+    else:
+        row_ids = [0, k - 1]
+        col_ids = [0, k - 1]
+        margin = 1
 
-    z_top_raw = z[:, 0, :, : k * cout].astype(f32).reshape(B, Wf, cout)
-    z_bot_raw = (
-        z[:, h - 1, :, (kk - k) * cout :].astype(f32).reshape(B, Wf, cout)
-    )
-    z_l_raw = (
-        z[:, :, 0, :].astype(f32).reshape(B, h, kk, cout)[:, :, ::k, :]
-    ).reshape(B, Hf, cout)
-    z_r_raw = (
-        z[:, :, w - 1, :].astype(f32).reshape(B, h, kk, cout)[:, :, k - 1 :: k, :]
-    ).reshape(B, Hf, cout)
+    def z_row_raw(ry):
+        hrow = 0 if ry < k // 2 else h - 1
+        return (
+            z[:, hrow, :, ry * k * cout : (ry + 1) * k * cout]
+            .astype(f32)
+            .reshape(B, Wf, cout)
+        )
 
-    # corner-inclusive top/bottom corrections (corners belong to the
-    # row strips; column strips are applied first and then overwritten)
-    D_top = T.at[:, 0].add(L[:, 0]).at[:, -1].add(R[:, 0])
-    D_bot = Bo.at[:, 0].add(L[:, -1]).at[:, -1].add(R[:, -1])
+    def z_col_raw(rx):
+        wcol = 0 if rx < k // 2 else w - 1
+        return (
+            z[:, :, wcol, :].astype(f32).reshape(B, h, kk, cout)[:, :, rx::k, :]
+        ).reshape(B, Hf, cout)
 
-    e_left = z_l_raw - L  # full column (corner rows provisional)
-    e_right = z_r_raw - R
-    e_top = z_top_raw - D_top
-    e_bot = z_bot_raw - D_bot
+    zeros_row = jnp.zeros((B, Wf, cout), f32)
+
+    def D_row(ry):
+        # corner-inclusive row corrections (rows own the corners)
+        base = T if ry == 0 else (Bo if ry == k - 1 else zeros_row)
+        fr = ry if ry < k // 2 else Hf - k + ry
+        return base.at[:, 0].add(L[:, fr]).at[:, -1].add(R[:, fr])
+
+    def G_row(ry):
+        if mode != "v3":
+            return 0.0
+        return G_top[:, ry] if ry < k // 2 else G_bot[:, ry - (k - 2)]
+
+    def D_col(rx):
+        if rx == 0:
+            return L
+        if rx == k - 1:
+            return R
+        return 0.0
+
+    def G_col(rx):
+        if mode != "v3":
+            return 0.0
+        return (
+            G_left[:, :, rx] if rx < k // 2 else G_right[:, :, rx - (k - 2)]
+        )
+
+    row_raw = {ry: z_row_raw(ry) for ry in row_ids}
+    col_raw = {rx: z_col_raw(rx) for rx in col_ids}
+    row_e = {ry: row_raw[ry] - D_row(ry) - G_row(ry) for ry in row_ids}
+    col_e = {rx: col_raw[rx] - D_col(rx) - G_col(rx) for rx in col_ids}
 
     # IN1 statistics: pool tile partials over tiles AND phases, then add
     # the ring deltas (disjoint accounting: full rows + interior columns)
@@ -630,13 +1017,16 @@ def _fused_head_tail(
     def _delta(e, zr):
         return (e - zr).sum(axis=1), (e * e - zr * zr).sum(axis=1)
 
-    d1, d2 = _delta(e_top, z_top_raw)
-    for e_, zr_ in (
-        (e_bot, z_bot_raw),
-        (e_left[:, 1:-1], z_l_raw[:, 1:-1]),
-        (e_right[:, 1:-1], z_r_raw[:, 1:-1]),
-    ):
-        a_, b_ = _delta(e_, zr_)
+    d1 = jnp.zeros((B, cout), f32)
+    d2 = jnp.zeros((B, cout), f32)
+    for ry in row_ids:
+        a_, b_ = _delta(row_e[ry], row_raw[ry])
+        d1 = d1 + a_
+        d2 = d2 + b_
+    for rx in col_ids:
+        a_, b_ = _delta(
+            col_e[rx][:, margin:-margin], col_raw[rx][:, margin:-margin]
+        )
         d1 = d1 + a_
         d2 = d2 + b_
     s1 = s1 + d1
@@ -723,32 +1113,36 @@ def _fused_head_tail(
             + b3f[None, None, :]
         )
 
-    u_top_e = tail_plane(e_top)  # [B, Wf, out]
-    u_bot_e = tail_plane(e_bot)
-    u_left_e = tail_plane(e_left)  # [B, Hf, out]
-    u_right_e = tail_plane(e_right)
-
     ko = k * out_ch
-    u_top_raw = u[:, 0, :, :ko].reshape(B, Wf, out_ch)
-    u_bot_raw = u[:, h - 1, :, (kk - k) * out_ch :].reshape(B, Wf, out_ch)
-    u_l_raw = (
-        u[:, :, 0, :].reshape(B, h, kk, out_ch)[:, :, ::k, :]
-    ).reshape(B, Hf, out_ch)
-    u_r_raw = (
-        u[:, :, w - 1, :].reshape(B, h, kk, out_ch)[:, :, k - 1 :: k, :]
-    ).reshape(B, Hf, out_ch)
+
+    def u_row_raw(ry):
+        hrow = 0 if ry < k // 2 else h - 1
+        return u[:, hrow, :, ry * ko : (ry + 1) * ko].reshape(B, Wf, out_ch)
+
+    def u_col_raw(rx):
+        wcol = 0 if rx < k // 2 else w - 1
+        return (
+            u[:, :, wcol, :].reshape(B, h, kk, out_ch)[:, :, rx::k, :]
+        ).reshape(B, Hf, out_ch)
+
+    u_row_e = {ry: tail_plane(row_e[ry]) for ry in row_ids}
+    u_col_e = {rx: tail_plane(col_e[rx]) for rx in col_ids}
 
     # IN2 statistics with ring deltas (same disjoint accounting)
     n2 = h * w * kk
     us = usum.reshape(B, nty2 * ntx2, op).sum(axis=1)[:, :out_ch]  # [B, out]
     uq = usq.reshape(B, nty2 * ntx2, op).sum(axis=1)[:, :out_ch]
-    du1, du2 = _delta(u_top_e, u_top_raw)
-    for e_, zr_ in (
-        (u_bot_e, u_bot_raw),
-        (u_left_e[:, 1:-1], u_l_raw[:, 1:-1]),
-        (u_right_e[:, 1:-1], u_r_raw[:, 1:-1]),
-    ):
-        a_, b_ = _delta(e_, zr_)
+    du1 = jnp.zeros((B, out_ch), f32)
+    du2 = jnp.zeros((B, out_ch), f32)
+    for ry in row_ids:
+        a_, b_ = _delta(u_row_e[ry], u_row_raw(ry))
+        du1 = du1 + a_
+        du2 = du2 + b_
+    for rx in col_ids:
+        a_, b_ = _delta(
+            u_col_e[rx][:, margin:-margin],
+            u_col_raw(rx)[:, margin:-margin],
+        )
         du1 = du1 + a_
         du2 = du2 + b_
     us = us + du1
@@ -758,14 +1152,19 @@ def _fused_head_tail(
     sc2 = jax.lax.rsqrt(var2 + eps)
 
     # overwrite the ring (columns first; rows then own the corners)
-    ul = u[:, :, 0, :].reshape(B, h, kk, out_ch)
-    ul = ul.at[:, :, ::k, :].set(u_left_e.reshape(B, h, k, out_ch))
-    u = u.at[:, :, 0, :].set(ul.reshape(B, h, kk * out_ch))
-    ur = u[:, :, w - 1, :].reshape(B, h, kk, out_ch)
-    ur = ur.at[:, :, k - 1 :: k, :].set(u_right_e.reshape(B, h, k, out_ch))
-    u = u.at[:, :, w - 1, :].set(ur.reshape(B, h, kk * out_ch))
-    u = u.at[:, 0, :, :ko].set(u_top_e.reshape(B, w, ko))
-    u = u.at[:, h - 1, :, (kk - k) * out_ch :].set(u_bot_e.reshape(B, w, ko))
+    for wcol, ids in ((0, [r for r in col_ids if r < k // 2]),
+                      (w - 1, [r for r in col_ids if r >= k // 2])):
+        uw = u[:, :, wcol, :].reshape(B, h, kk, out_ch)
+        for rx in ids:
+            uw = uw.at[:, :, rx::k, :].set(
+                u_col_e[rx].reshape(B, h, k, out_ch)
+            )
+        u = u.at[:, :, wcol, :].set(uw.reshape(B, h, kk * out_ch))
+    for ry in row_ids:
+        hrow = 0 if ry < k // 2 else h - 1
+        u = u.at[:, hrow, :, ry * ko : (ry + 1) * ko].set(
+            u_row_e[ry].reshape(B, w, ko)
+        )
 
     u = u.reshape(B, h, w, kk, out_ch)
     xn = (u - mu2[:, None, None, None, :]) * sc2[:, None, None, None, :]
@@ -782,6 +1181,6 @@ def _fused_head_tail(
         return s.astype(dt), {
             "z": z, "ssum": ssum, "mu": mu, "sc": sc, "d1": d1,
             "u": u, "mu2": mu2, "sc2": sc2, "us": us,
-            "e_top": e_top, "u_top_e": u_top_e,
+            "e_top": row_e[0], "u_top_e": u_row_e[0],
         }
     return s.astype(dt)

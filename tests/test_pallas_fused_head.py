@@ -10,9 +10,27 @@ from posfeat_tpu.ops.resize import interpolate_bilinear
 from posfeat_tpu.models.keypoint_det import instance_norm
 
 
-def reference_tail(trunk, img_feat, k2t, k2i, b2, w3, b3, a, act="Softplus"):
-    H, W = img_feat.shape[1:3]
+def _img_branch(s, k1, b1):
+    """convimg + IN stats, replicating KeypointDet exactly (f32 here)."""
+    y = jax.lax.conv_general_dilated(
+        s, k1, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b1
+    n = y.shape[1] * y.shape[2]
+    s1 = jnp.sum(y, axis=(1, 2))
+    s2 = jnp.sum(y * y, axis=(1, 2))
+    mu = s1 / n
+    var = jnp.maximum(s2 / n - mu * mu, 0.0)
+    a = jax.lax.rsqrt(var + 1e-5)
+    return y, mu, a
+
+
+def reference_tail(trunk, s, k1, b1, k2t, k2i, b2, w3, b3, a, act="Softplus"):
+    H, W = s.shape[1:3]
     xu = interpolate_bilinear(trunk, (H, W), align_corners=False)
+    y, mu, ia = _img_branch(s, k1, b1)
+    img_feat = (y - mu[:, None, None, :]) * ia[:, None, None, :]
     z_img = jax.lax.conv_general_dilated(
         img_feat, k2i, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -36,49 +54,50 @@ def reference_tail(trunk, img_feat, k2t, k2i, b2, w3, b3, a, act="Softplus"):
 
 def _setup(rng, B=2, h=12, w=16, cin=24, cy=16, cout=32, out=2):
     trunk = jnp.asarray(rng.randn(B, h, w, cin).astype(np.float32))
-    img_feat = jnp.asarray(rng.randn(B, 4 * h, 4 * w, cy).astype(np.float32))
+    s = jnp.asarray(rng.randn(B, 4 * h, 4 * w, 3).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, 3, cy).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(cy).astype(np.float32) * 0.1)
     k2t = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
     k2i = jnp.asarray(rng.randn(3, 3, cy, cout).astype(np.float32) * 0.1)
     b2 = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
     w3 = jnp.asarray(rng.randn(1, 1, cout, out).astype(np.float32) * 0.1)
     b3 = jnp.asarray(rng.randn(out).astype(np.float32) * 0.1)
     a = jnp.asarray([0.25], np.float32)
-    return trunk, img_feat, k2t, k2i, b2, w3, b3, a
+    return trunk, s, k1, b1, k2t, k2i, b2, w3, b3, a
 
 
-@pytest.mark.parametrize("v2", ["1", "0"])
-def test_fused_head_tail_interpret_matches(rng, monkeypatch, v2):
-    monkeypatch.setenv("POSFEAT_HEAD_V2", v2)
-    trunk, img_feat, k2t, k2i, b2, w3, b3, a = _setup(rng)
-    ref = np.asarray(
-        reference_tail(trunk, img_feat, k2t, k2i, b2, w3, b3, a[0])
-    )
-    got = np.asarray(
+def _run_fused(args, mode):
+    trunk, s, k1, b1, k2t, k2i, b2, w3, b3, a = args
+    y, mu, ia = _img_branch(s, k1, b1)
+    return np.asarray(
         fused_head_tail(
-            trunk, img_feat, k2t, k2i, b2, w3, b3, a,
+            trunk, s, y, mu, ia, k1, b1, k2t, k2i, b2, w3, b3, a,
             act="Softplus", interpret=True,
         )
     )
+
+
+@pytest.mark.parametrize("mode", ["v3", "v3t", "v2", "v1"])
+def test_fused_head_tail_interpret_matches(rng, monkeypatch, mode):
+    if mode == "v3t":
+        monkeypatch.setenv("POSFEAT_HEAD_MODE", "v3")
+        monkeypatch.setenv("POSFEAT_HEAD_TRIPLE", "1")
+    else:
+        monkeypatch.setenv("POSFEAT_HEAD_MODE", mode)
+    args = _setup(rng)
+    ref = np.asarray(reference_tail(*args[:1], *args[1:], act="Softplus"))
+    got = _run_fused(args, mode)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
 
 
-@pytest.mark.parametrize("v2", ["1", "0"])
-def test_fused_head_tail_odd_tiles(rng, monkeypatch, v2):
-    # h=12 -> th=4 fallback path; w=20 -> tw=4
-    monkeypatch.setenv("POSFEAT_HEAD_V2", v2)
-    trunk, img_feat, k2t, k2i, b2, w3, b3, a = _setup(
-        rng, B=1, h=6, w=20, cin=8, cy=8, cout=16, out=1
-    )
-    ref = np.asarray(
-        reference_tail(trunk, img_feat, k2t, k2i, b2, w3, b3, a[0])
-    )
-    got = np.asarray(
-        fused_head_tail(
-            trunk, img_feat, k2t, k2i, b2, w3, b3, a,
-            act="Softplus", interpret=True,
-        )
-    )
+@pytest.mark.parametrize("mode", ["v3", "v1"])
+def test_fused_head_tail_odd_tiles(rng, monkeypatch, mode):
+    # h=6 -> th=2 fallback path; w=20 -> tw=4
+    monkeypatch.setenv("POSFEAT_HEAD_MODE", mode)
+    args = _setup(rng, B=1, h=6, w=20, cin=8, cy=8, cout=16, out=1)
+    ref = np.asarray(reference_tail(*args, act="Softplus"))
+    got = _run_fused(args, mode)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
 
 

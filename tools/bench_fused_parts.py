@@ -32,10 +32,12 @@ N_SCAN = 4
 dt = jnp.bfloat16
 
 cy = 64
-keys = jax.random.split(jax.random.PRNGKey(0), 7)
+keys = jax.random.split(jax.random.PRNGKey(0), 8)
 trunks = jax.random.normal(keys[0], (N_SCAN, B, h, w, cin), dt)
 z_img = jax.random.normal(keys[1], (B, 4 * h, 4 * w, cout), dt)
-img_feat = jax.random.normal(keys[6], (B, 4 * h, 4 * w, cy), dt)
+s_img = jax.random.normal(keys[6], (B, 4 * h, 4 * w, 3), dt)
+k1i = jax.random.normal(keys[7], (3, 3, 3, cy), jnp.float32) * 0.2
+b1i = jnp.zeros((cy,), jnp.float32)
 k2i = jax.random.normal(keys[6], (3, 3, cy, cout), jnp.float32) * 0.05
 k2t = jax.random.normal(keys[2], (3, 3, cin, cout), jnp.float32) * 0.05
 b2 = jax.random.normal(keys[3], (cout,), jnp.float32) * 0.05
@@ -330,9 +332,21 @@ def run_k2(zts):
 
 
 def run_full(ts):
+    y_img = jax.lax.conv_general_dilated(
+        s_img, k1i.astype(dt), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y32 = y_img.astype(jnp.float32)
+    mu = y32.mean((1, 2))
+    a_in = jax.lax.rsqrt(
+        jnp.maximum((y32 * y32).mean((1, 2)) - mu * mu, 0.0) + 1e-5
+    )
+
     def step(c, t):
         s = fh.fused_head_tail(
-            t, img_feat, k2t, k2i, b2, w3, b3, a, act="Softplus"
+            t, s_img, y_img, mu, a_in, k1i, b1i, k2t, k2i, b2, w3, b3, a,
+            act="Softplus",
         )
         return c + jnp.sum(s[:, ::63, ::61].astype(jnp.float32)), None
 

@@ -46,9 +46,12 @@ MODEL_CONFIG = {
 H, W = 96, 128
 
 
-ROT_MAX = 30.0
-SCALE_RANGE = (0.7, 1.3)
-PHOTO_STRENGTH = 1.3
+ROT_MAX = float(os.environ.get("CONV_ROT", 30.0))
+SCALE_RANGE = (
+    1.0 - float(os.environ.get("CONV_SCALE", 0.3)),
+    1.0 + float(os.environ.get("CONV_SCALE", 0.3)),
+)
+PHOTO_STRENGTH = float(os.environ.get("CONV_PHOTO", 1.3))
 
 
 def make_eval_fixture(root, n_seq=4, n_img=6, seed=77):
@@ -241,23 +244,17 @@ def extract_and_mma(tag, data_root, work, load_path, use_sift=False):
     return float(o)
 
 
-def main():
-    global W_G, W_W
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    if len(sys.argv) > 2:
-        W_G = float(sys.argv[2])
-    if len(sys.argv) > 3:
-        W_W = float(sys.argv[3])
-    print(f"stage-1 loss weights: w_g={W_G} w_w={W_W}")
-    work = tempfile.mkdtemp(prefix="convergence_")
-    print("work dir:", work)
-    data_root = os.path.join(work, "hp_eval")
-    os.makedirs(data_root)
-    make_eval_fixture(data_root)
-
+def run(steps=200, work=None):
+    """Full two-stage convergence probe; returns the metrics record."""
     from posfeat_tpu.train import Trainer
 
     import time
+
+    work = work or tempfile.mkdtemp(prefix="convergence_")
+    print("work dir:", work)
+    data_root = os.path.join(work, "hp_eval")
+    os.makedirs(data_root, exist_ok=True)
+    make_eval_fixture(data_root)
 
     # stage-1 metric: SIFT keypoints + our descriptors (the reference's
     # stage-1 val protocol) — the score head is untrained in stage 1, so
@@ -300,22 +297,36 @@ def main():
         )
     ]
     keys = [k for k in recs[0] if "reinforce" in k or "n_" in k or "reward" in k]
-    print("stage-2 metric keys:", list(recs[0]))
-    first, last = recs[0], recs[-1]
+    k3 = max(len(recs) // 4, 1)  # average ends of the run (records are noisy)
+    head = lambda k: float(np.mean([r[k] for r in recs[:k3]]))  # noqa: E731
+    tail = lambda k: float(np.mean([r[k] for r in recs[-k3:]]))  # noqa: E731
     for k in keys:
-        print(f"  {k}: {first.get(k):.4f} -> {last.get(k):.4f}")
+        print(f"  {k}: {head(k):.4f} -> {tail(k):.4f}")
     ck2 = os.path.join(work, "ckpts", "conv_kp", "001")
     mma_kp = extract_and_mma("stage2", data_root, work, ck2)
-    print(
-        json.dumps(
-            {
-                "mma3_sift_random_init": mma_rand,
-                "mma3_sift_stage1": mma_tr,
-                "mma3_learned_stage1": mma_lr1,
-                "mma3_learned_stage2": mma_kp,
-            }
-        )
-    )
+    rec = {
+        "mma3_sift_random_init": mma_rand,
+        "mma3_sift_stage1": mma_tr,
+        "mma3_learned_stage1": mma_lr1,
+        "mma3_learned_stage2": mma_kp,
+        "n_pairs_first": head("n_pairs"),
+        "n_pairs_last": tail("n_pairs"),
+        "reinforce_first": head("reinforce"),
+        "reinforce_last": tail("reinforce"),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def main():
+    global W_G, W_W
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    if len(sys.argv) > 2:
+        W_G = float(sys.argv[2])
+    if len(sys.argv) > 3:
+        W_W = float(sys.argv[3])
+    print(f"stage-1 loss weights: w_g={W_G} w_w={W_W}")
+    run(steps)
 
 
 if __name__ == "__main__":

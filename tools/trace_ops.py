@@ -74,40 +74,21 @@ def main():
     with jax.profiler.trace(trace_dir):
         float(run(variables, ims))
 
-    # parse the xplane and print top ops by self time
-    xplanes = glob.glob(
-        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
-    )
-    if not xplanes:
-        print("no xplane captured", file=sys.stderr)
-        return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    # parse the xplane and print top ops by self time (xplane_parse is
+    # the in-repo wire-format parser; the tensorboard profile plugin's
+    # bundled protobuf bindings are incompatible with this image)
+    import subprocess
 
-    params = {"tqx": "out:json;"}
-    data, _ = rttd.xspace_to_tool_data(xplanes, "framework_op_stats^", params)
-    obj = json.loads(data) if isinstance(data, (str, bytes)) else data
-    rows = obj["table"]["rows"] if "table" in obj else None
-    cols = [c["label"] for c in obj["table"]["cols"]] if rows else []
-    print("columns:", cols, file=sys.stderr)
-    items = []
-    for r in rows or []:
-        vals = [c.get("v") for c in r["c"]]
-        rec = dict(zip(cols, vals))
-        items.append(rec)
-    # column names observed: 'Type', 'Operation', 'Total self-time (us)' ...
-    key_self = next(
-        (c for c in cols if "self" in c.lower() and "us" in c.lower()), None
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "xplane_parse.py"),
+            trace_dir,
+            str(4 * bs),
+            "40",
+        ],
+        check=True,
     )
-    key_name = next((c for c in cols if "operation" in c.lower()), None)
-    items.sort(key=lambda r: -(r.get(key_self) or 0))
-    n_img = 4 * bs
-    total = sum(r.get(key_self) or 0 for r in items)
-    print(f"total self time: {total / n_img / 1e3:.3f} ms/img over {n_img} images")
-    for r in items[:40]:
-        t = (r.get(key_self) or 0) / n_img / 1e3
-        if t < 0.001:
-            break
-        print(f"{t:8.4f} ms/img  {str(r.get(key_name))[:110]}")
 
 
 if __name__ == "__main__":
