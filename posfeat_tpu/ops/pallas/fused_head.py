@@ -276,6 +276,7 @@ def _conv_kernel_v3(
     cout: int,
     k: int,
     tri: bool = False,
+    im2col: int = 0,
 ):
     """v3: the whole image branch (convimg 3->64, instance norm, conv2's
     image half 64->128) is collapsed into ONE per-image composite 5x5
@@ -329,9 +330,32 @@ def _conv_kernel_v3(
     tile = scratch_tp[step % 2]
 
     m = th * tw
-    acc = jnp.zeros((m, kk * cout), jnp.float32)
-    if tri:
+    if im2col:
+        # 9 shifted views concatenated into ONE im2col operand with the
+        # TRUE (unpadded) channel count: a single matmul accumulates all
+        # taps inside the MXU — no [m, kk*cout] f32 partial-product
+        # round-trips through VMEM — and K = 9*Cin_true rounds up to
+        # fewer 128-passes than 9 x ceil(Cin/128)
+        cin_t = im2col  # true channel count
+        kf = kph_ref.shape[0]  # padded 9*cin_t
+        cols = [
+            tile[dy : dy + th, dx : dx + tw, :cin_t].reshape(m, cin_t)
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        pad = kf - 9 * cin_t
+        if pad:
+            cols.append(jnp.zeros((m, pad), tile.dtype))
+        blk = jnp.concatenate(cols, axis=1)
+        acc = jax.lax.dot_general(
+            blk,
+            kph_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    elif tri:
         ktrip = scratch_tp.shape[3]
+        acc = jnp.zeros((m, kk * cout), jnp.float32)
         for dx in range(3):
             blk = tile[0:th, dx : dx + tw, :].reshape(m, ktrip)
             acc = acc + jax.lax.dot_general(
@@ -341,6 +365,7 @@ def _conv_kernel_v3(
                 preferred_element_type=jnp.float32,
             )
     else:
+        acc = jnp.zeros((m, kk * cout), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 blk = tile[dy : dy + th, dx : dx + tw, :].reshape(m, cin)
@@ -542,12 +567,26 @@ def fused_head_tail(
     mode = os.environ.get("POSFEAT_HEAD_MODE", "v3")
     assert mode in ("v1", "v2", "v3"), mode
     tri = os.environ.get("POSFEAT_HEAD_TRIPLE", "0") == "1" and mode == "v3"
+    # im2col: single-matmul trunk conv (9 shifted views lane-concatenated
+    # with the TRUE 192-channel count). 2.22 vs 2.46 ms/img in the head
+    # A/B. Default OFF pending device-level numeric validation: the
+    # operand build needs lane slices at non-128-aligned offsets (192,
+    # 384, ...) and a 9-piece lane concat — known Mosaic hazard shapes —
+    # and the only full-program probe that flagged it (top-k overlap
+    # 0.14 vs f32) was later shown ill-conditioned (pure-dtype f32-vs-
+    # bf16 churns to the same 0.14 on random-init weights; see
+    # tools/selection_stability.py). Enable after a matched-dtype
+    # kernel-level parity run on real TPU.
+    im2col = (
+        os.environ.get("POSFEAT_HEAD_IM2COL", "0") == "1" and mode == "v3"
+    )
+    tri = tri and not im2col  # mutually exclusive trunk layouts
     return _fused_head_tail(
         trunk, img_s, img_y, img_mu, img_a, k1_img, b1_img,
         k2_trunk, k2_img, b2, w3, b3, prelu_a,
         act=act, k=k, eps=eps, interpret=interpret,
         debug_intermediates=debug_intermediates, tiles=tiles, zt=zt,
-        mode=mode, tri=tri,
+        mode=mode, tri=tri, im2col=im2col,
     )
 
 
@@ -555,7 +594,7 @@ def fused_head_tail(
     jax.jit,
     static_argnames=(
         "act", "k", "interpret", "debug_intermediates", "tiles", "zt",
-        "mode", "tri",
+        "mode", "tri", "im2col",
     ),
 )
 def _fused_head_tail(
@@ -581,6 +620,7 @@ def _fused_head_tail(
     zt: bool = False,
     mode: str = "v3",
     tri: bool = False,
+    im2col: bool = False,
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
@@ -717,7 +757,21 @@ def _fused_head_tail(
 
     grid = (B, nty, ntx)
     if mode == "v3":
-        if tri:
+        if im2col:
+            # flat (dy,dx)-major kernel rows with TRUE channel count
+            kphu = _phase_kernel(k2_trunk, k)  # [3,3,cin,kk*cout] f32
+            kf = -(-9 * cin // 128) * 128
+            kph = jnp.pad(
+                kphu.reshape(9 * cin, kk * cout),
+                ((0, kf - 9 * cin), (0, 0)),
+            ).astype(dt)  # [kf, kk*cout]
+            kph_spec = pl.BlockSpec(
+                (kf, kk * cout),
+                lambda b, i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            scratch1 = pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt)
+        elif tri:
             # row-tripled trunk: tp3[r] = [tp[r]; tp[r+1]; tp[r+2]],
             # 3*Cin channels lane-padded — 3 matmuls/tile instead of 9
             cin3 = 3 * cin
@@ -754,7 +808,8 @@ def _fused_head_tail(
             )
             scratch1 = pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt)
         kernel1 = functools.partial(
-            _conv_kernel_v3, th=th, tw=tw, cin=cin_p, cout=cout, k=k, tri=tri
+            _conv_kernel_v3, th=th, tw=tw, cin=cin_p, cout=cout, k=k,
+            tri=tri, im2col=cin if im2col else 0,
         )
         z, ssum, ssq = pl.pallas_call(
             kernel1,

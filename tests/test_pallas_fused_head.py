@@ -77,11 +77,16 @@ def _run_fused(args, mode):
     )
 
 
-@pytest.mark.parametrize("mode", ["v3", "v3t", "v2", "v1"])
+@pytest.mark.parametrize("mode", ["v3", "v3t", "v3i", "v2", "v1"])
 def test_fused_head_tail_interpret_matches(rng, monkeypatch, mode):
     if mode == "v3t":
         monkeypatch.setenv("POSFEAT_HEAD_MODE", "v3")
         monkeypatch.setenv("POSFEAT_HEAD_TRIPLE", "1")
+    elif mode == "v3i":
+        # im2col trunk operand (env-gated OFF by default on device
+        # pending Mosaic validation; the math is covered here)
+        monkeypatch.setenv("POSFEAT_HEAD_MODE", "v3")
+        monkeypatch.setenv("POSFEAT_HEAD_IM2COL", "1")
     else:
         monkeypatch.setenv("POSFEAT_HEAD_MODE", mode)
     args = _setup(rng)
