@@ -1,35 +1,190 @@
 """Quantify fast-path selection stability (VERDICT round-1 item #4).
 
 The extraction default on TPU is the bf16 Pallas head; HPatches MMA
-depends on *top-k ordering* (putils:249-261), so bf16 rounding could
-churn top-k membership vs the f32 XLA program even when score values
-match to ~1e-2. This tool runs BOTH full extraction programs on the
-same textured images and reports:
-  - per-image top-k membership overlap (keypoints rounded to the pixel
-    grid; overlap = |A∩B| / max(|A|, |B|))
-  - match-level agreement: mutual-NN matches between consecutive image
-    pairs computed from each program's (kpts, descs); agreement = the
-    fraction of f32-program matches reproduced (same pixel pair) by the
-    bf16 program.
+depends on *top-k ordering* (putils:249-261), so bf16 rounding could in
+principle churn top-k membership vs the f32 XLA program.
 
-Run on TPU: python tools/selection_stability.py [n_images] [num_pts]
-Prints one JSON line; tests/test_selection_stability.py asserts the
-thresholds.
+Two probes live here:
+
+1. ``trained_probe(ckpt)`` — THE MEANINGFUL MEASUREMENT. Runs the full
+   f32-XLA and bf16-Pallas extraction programs through the shipped
+   Extractor with TRAINED weights on a synthetic-HPatches fixture and
+   reports MMA@3px for both programs (the quantity the 0.5% parity
+   budget is written in), plus raw top-k membership overlap and
+   mutual-NN match agreement.
+
+2. ``main(n_images, num_pts)`` — the raw-churn diagnostic on RANDOM
+   init weights. Measured on v5e (2026-08-17, 16 images, 8192 pts):
+   f32-XLA vs bf16-XLA — NO custom kernels anywhere — already shows
+   top-k overlap 0.137, because a random-init head produces smooth
+   score maps whose top-8192 boundary sits inside a dense band of
+   near-equal scores; ANY rounding permutes the boundary. Raw churn on
+   random weights therefore measures probe conditioning, not kernel
+   quality. Matched-dtype comparisons from the same run:
+   bf16-XLA vs bf16-phase 0.740, bf16-XLA vs bf16-Pallas 0.649.
+   Use probe 1 to judge the fast path; this one only for diagnostics.
+
+Run on TPU:
+  python tools/selection_stability.py --ckpt <dir>     # trained probe
+  python tools/selection_stability.py [n_images] [num_pts]  # diagnostic
+tests/test_selection_stability.py asserts the trained-probe thresholds.
 """
 
 import json
+import os
 import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from posfeat_tpu.core.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
 H, W = 480, 640
+
+
+# ------------------------------------------------------------------ shared
+
+
+def _pixel_set(kpts):
+    return {tuple(p) for p in np.round(np.asarray(kpts)).astype(int)}
+
+
+def _match_pairs(k1, d1, k2, d2):
+    from posfeat_tpu.ops.matchers import mnn_matcher
+
+    m = mnn_matcher(d1, d2)
+    return {
+        (tuple(np.round(k1[x]).astype(int)), tuple(np.round(k2[y]).astype(int)))
+        for x, y in m
+    }
+
+
+# ------------------------------------------------ probe 1: trained weights
+
+
+def train_probe_ckpt(work, steps1=200, steps2=100):
+    """Train the small two-stage model on SyntheticPairs (CPU-friendly;
+    the convergence-experiment recipe) and return the stage-2 checkpoint
+    dir. Used by the stability test to self-provision trained weights."""
+    from convergence_experiment import train_config
+
+    from posfeat_tpu.train import Trainer
+
+    ckpt_root = os.path.join(work, "ckpts")
+    Trainer(train_config(work, "desc", steps1), ckpt_root=ckpt_root).train()
+    ck1 = os.path.join(ckpt_root, "conv_desc", "001")
+    Trainer(
+        train_config(work, "kp", steps2, load_path=ck1), ckpt_root=ckpt_root
+    ).train()
+    return os.path.join(ckpt_root, "conv_kp", "001")
+
+
+def trained_probe(ckpt, work=None, num_pts=512):
+    """f32-XLA vs bf16-Pallas full-extraction comparison with trained
+    weights; returns MMA@3px for both + churn stats (one JSON record)."""
+    import shutil
+    import tempfile
+
+    from convergence_experiment import MODEL_CONFIG, make_eval_fixture
+
+    from posfeat_tpu.evals import hpatches as hp
+    from posfeat_tpu.extract import Extractor
+
+    own_work = work is None
+    work = work or tempfile.mkdtemp(prefix="selstab_")
+    data_root = os.path.join(work, "hpatches")
+    if not os.path.isdir(data_root):
+        os.makedirs(data_root)
+        make_eval_fixture(data_root)
+
+    def run(tag, compute_dtype, head_dataflow):
+        cfg = {
+            "output_root": f"hp/{tag}",
+            "postfix": "c",
+            "load_path": ckpt,
+            "loss_distance": "cos",
+            "output_desc": True,
+            "output_img": False,
+            "model": "PoSFeat",
+            "model_config": MODEL_CONFIG,
+            "data": "HPatch_SIFT",
+            "data_config_extract": {
+                "data_path": data_root,
+                "batch_size": 4,
+                "workers": 2,
+            },
+            "local_thr": 0.99,
+            "use_sift": False,
+            "compute_dtype": compute_dtype,
+            "head_dataflow": head_dataflow,
+            "detector": "generate_kpts_single",
+            "detector_config": {
+                "num_pts": num_pts,
+                "stable": True,
+                "use_nms": True,
+                "nms_radius": 1,
+                "thr": False,
+            },
+        }
+        Extractor(cfg, ckpt_root=os.path.join(work, "ckpts")).extract()
+        desc_dir = os.path.join(work, "ckpts", f"hp/{tag}", "desc")
+        errors = hp.benchmark_features(
+            hp.generate_read_function(desc_dir, "c"), data_root
+        )
+        mma3, _, _ = hp.mma_at(errors, 3, n_i=2, n_v=2)
+        return desc_dir, float(mma3)
+
+    d32, mma32 = run("f32", "float32", False)
+    dbf, mmabf = run("bf16", "bfloat16", "pallas")
+
+    overlaps, agreements = [], []
+    feats = {}
+    for root, _, files in os.walk(d32):
+        for f in sorted(files):
+            if not f.endswith(".c"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), d32)
+            a = np.load(os.path.join(d32, rel))
+            b = np.load(os.path.join(dbf, rel))
+            ka, kb = _pixel_set(a["keypoints"]), _pixel_set(b["keypoints"])
+            overlaps.append(len(ka & kb) / max(len(ka), len(kb)))
+            feats[rel] = (a, b)
+
+    keys = sorted(feats)
+    for i in range(len(keys) - 1):
+        if os.path.dirname(keys[i]) != os.path.dirname(keys[i + 1]):
+            continue
+        a1, b1 = feats[keys[i]]
+        a2, b2 = feats[keys[i + 1]]
+        pa = _match_pairs(
+            a1["keypoints"], a1["descriptors"], a2["keypoints"], a2["descriptors"]
+        )
+        pb = _match_pairs(
+            b1["keypoints"], b1["descriptors"], b2["keypoints"], b2["descriptors"]
+        )
+        agreements.append(len(pa & pb) / max(len(pa), 1))
+
+    rec = {
+        "mma3_f32_xla": round(mma32, 5),
+        "mma3_bf16_pallas": round(mmabf, 5),
+        "delta_mma3": round(mmabf - mma32, 5),
+        "topk_overlap_mean": round(float(np.mean(overlaps)), 5),
+        "topk_overlap_min": round(float(np.min(overlaps)), 5),
+        "match_agreement_mean": round(float(np.mean(agreements)), 5),
+        "n_images": len(overlaps),
+    }
+    print(json.dumps(rec))
+    if own_work:
+        shutil.rmtree(work, ignore_errors=True)
+    return rec
+
+
+# --------------------------------------- probe 2: random-init diagnostic
 
 
 def build_program(dtype, head_mode):
@@ -72,15 +227,9 @@ def textured_images(n):
     ).astype(np.float32)
 
 
-def mnn(d1, d2):
-    from posfeat_tpu.ops.matchers import mnn_matcher
-
-    return mnn_matcher(d1, d2)
-
-
 def main(n_images=16, num_pts=8192):
-    from posfeat_tpu.models import PoSFeat  # noqa: F401 (import order)
-
+    """Random-init raw-churn diagnostic — see module docstring for why
+    this does NOT measure kernel quality (dtype alone churns it)."""
     model_f32, run_f32 = build_program(jnp.float32, False)
     model_bf16, run_bf16 = build_program(jnp.bfloat16, "pallas")
     variables = model_f32.init(jax.random.PRNGKey(0), im_shape=(1, 64, 64, 3))
@@ -99,8 +248,8 @@ def main(n_images=16, num_pts=8192):
             de = np.asarray(feat, np.float32)[0, :n]
             out[tag] = (kp, de)
             feats[tag].append((kp, de))
-        a = {tuple(p) for p in np.round(out["f32"][0]).astype(int)}
-        b = {tuple(p) for p in np.round(out["bf16"][0]).astype(int)}
+        a = _pixel_set(out["f32"][0])
+        b = _pixel_set(out["bf16"][0])
         overlaps.append(len(a & b) / max(len(a), len(b)))
 
     agreements = []
@@ -109,16 +258,8 @@ def main(n_images=16, num_pts=8192):
         k2a, d2a = feats["f32"][i + 1]
         k1b, d1b = feats["bf16"][i]
         k2b, d2b = feats["bf16"][i + 1]
-        ma = mnn(d1a, d2a)
-        mb = mnn(d1b, d2b)
-        pa = {
-            (tuple(np.round(k1a[x]).astype(int)), tuple(np.round(k2a[y]).astype(int)))
-            for x, y in ma
-        }
-        pb = {
-            (tuple(np.round(k1b[x]).astype(int)), tuple(np.round(k2b[y]).astype(int)))
-            for x, y in mb
-        }
+        pa = _match_pairs(k1a, d1a, k2a, d2a)
+        pb = _match_pairs(k1b, d1b, k2b, d2b)
         agreements.append(len(pa & pb) / max(len(pa), 1))
 
     rec = {
@@ -134,6 +275,13 @@ def main(n_images=16, num_pts=8192):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    p = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-    main(n, p)
+    if "--train-ckpt" in sys.argv:
+        # helper for the stability test: provision trained weights on CPU
+        work = sys.argv[sys.argv.index("--train-ckpt") + 1]
+        print(train_probe_ckpt(work))
+    elif "--ckpt" in sys.argv:
+        trained_probe(sys.argv[sys.argv.index("--ckpt") + 1])
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+        p = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+        main(n, p)
