@@ -62,18 +62,99 @@ def _sample_one(img: jnp.ndarray, pts: jnp.ndarray, padding_mode: str) -> jnp.nd
     return out
 
 
+def _sample_one_pair(img: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Pair-gather bilinear sampling, 'zeros' padding ([H, W, C], [N, 2]).
+
+    The two x-adjacent corners of each bilinear footprint are contiguous
+    in a row-major [H*W, C] view, so the 4 single-row gathers of the
+    reference formulation collapse into 2 gathers of (2, C) slices —
+    same bytes from HBM, half the random-access descriptors (the TPU
+    gather cost is dominated by per-index row fetches). Out-of-bounds
+    corners read a clamped/wrapped row but carry zero weight, matching
+    torch grid_sample(padding_mode='zeros'); the lerp is factored
+    (x first, then y), algebraically identical to the 4-corner sum but
+    rounded differently at the last ulp in low precision.
+    """
+    H, W, C = img.shape
+    ix = _unnormalize(pts[:, 0], W)
+    iy = _unnormalize(pts[:, 1], H)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx1 = (ix - x0).astype(jnp.float32)
+    wy1 = (iy - y0).astype(jnp.float32)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    # per-corner zero weights for out-of-bounds reads
+    vx0 = (xi >= 0) & (xi < W)
+    vx1 = (xi + 1 >= 0) & (xi + 1 < W)
+
+    def vy(y):
+        return (y >= 0) & (y < H)
+
+    # one zero row on both ends so every flattened pair start lands
+    # in-bounds without clamping (clamping would shift which pixel each
+    # slice element refers to); OOB corners then read zero/wrapped rows
+    # that carry zero weight
+    flat = jnp.concatenate(
+        [jnp.zeros((1, C), img.dtype), img.reshape(H * W, C),
+         jnp.zeros((1, C), img.dtype)]
+    )
+
+    def pair(yrow, valid_y):
+        # rows r, r+1 of the flattened map: one gather of (2, C) slices
+        r = 1 + yrow * W + jnp.clip(xi, -1, W - 1)  # [0, H*W]
+        v = jax.lax.gather(
+            flat,
+            r[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2),
+                collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(2, C),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # [N, 2, C]
+        w0 = jnp.where(valid_y & vx0, wx0, 0.0)
+        w1 = jnp.where(valid_y & vx1, wx1, 0.0)
+        return (
+            v[:, 0] * w0[:, None].astype(img.dtype)
+            + v[:, 1] * w1[:, None].astype(img.dtype)
+        )
+
+    top = pair(jnp.clip(yi, 0, H - 1), vy(yi))
+    bot = pair(jnp.clip(yi + 1, 0, H - 1), vy(yi + 1))
+    return (
+        top * wy0[:, None].astype(img.dtype)
+        + bot * wy1[:, None].astype(img.dtype)
+    )
+
+
 def grid_sample(
-    image: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros"
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "zeros",
+    impl: str = "corner",
 ) -> jnp.ndarray:
     """Sample image [B, H, W, C] at grid [B, ..., 2] -> [B, ..., C].
 
     Grid holds normalized (x, y) with torch align_corners=False semantics.
+    impl='pair' (zeros padding only) gathers x-adjacent corner pairs as
+    (2, C) slices — fewer random-access rows on TPU, identical values.
     """
     assert padding_mode in ("zeros", "border"), padding_mode
     lead = grid.shape[1:-1]
     B = image.shape[0]
     flat = grid.reshape(B, -1, 2)
-    out = jax.vmap(_sample_one, in_axes=(0, 0, None))(image, flat, padding_mode)
+    if impl == "pair":
+        assert padding_mode == "zeros", "pair impl implements zeros padding"
+        out = jax.vmap(_sample_one_pair)(image, flat)
+    else:
+        out = jax.vmap(_sample_one, in_axes=(0, 0, None))(
+            image, flat, padding_mode
+        )
     return out.reshape((B,) + lead + (image.shape[-1],))
 
 
@@ -86,8 +167,14 @@ def sample_feat_by_coord(
     :param coord_n: normalized coords [B, N, 2]
     :param norm: L2-normalize sampled descriptors over channels
     :return: [B, N, C]
+
+    POSFEAT_SAMPLE_IMPL=pair selects the pair-gather formulation
+    (read at trace time; identical values, fewer random-access rows).
     """
-    feat = grid_sample(x, coord_n, padding_mode="zeros")
+    import os
+
+    impl = os.environ.get("POSFEAT_SAMPLE_IMPL", "corner")
+    feat = grid_sample(x, coord_n, padding_mode="zeros", impl=impl)
     if norm:
         feat = feat / jnp.clip(
             jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12, None

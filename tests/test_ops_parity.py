@@ -98,6 +98,15 @@ def test_grid_sample_matches_torch(rng, padding):
     np.testing.assert_allclose(
         np.asarray(ours), ref.permute(0, 2, 1).numpy(), rtol=1e-5, atol=1e-5
     )
+    if padding == "zeros":
+        # pair-gather formulation: identical values incl. border straddles
+        pair = grid_sample(
+            t2j_nchw(img_t), jnp.asarray(grid_np),
+            padding_mode=padding, impl="pair",
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair), ref.permute(0, 2, 1).numpy(), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_sample_feat_by_coord_norm(rng):
