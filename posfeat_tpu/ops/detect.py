@@ -22,6 +22,22 @@ from .pooling import avg_pool2d, max_pool2d
 from .samplers import unfold, gumbel_topk_select
 
 
+def _top_k(x: jnp.ndarray, k: int):
+    """Row-wise top-k. POSFEAT_TOPK=approx (read at trace time) selects
+    jax.lax.approx_max_k — on TPU this lowers to the PartialReduce unit
+    instead of a full sort of the candidate map (the sort is ~0.1 ms/img
+    at 480x640) at a configurable recall (POSFEAT_TOPK_RECALL, default
+    0.99; exact on CPU). The MMA impact of the approximation is judged
+    by the trained-weights probe (tools/selection_stability.py); the
+    default stays the exact, reference-ordered top-k (putils:249-261)."""
+    import os
+
+    if os.environ.get("POSFEAT_TOPK") == "approx":
+        recall = float(os.environ.get("POSFEAT_TOPK_RECALL", "0.99"))
+        return jax.lax.approx_max_k(x, k, recall_target=recall)
+    return jax.lax.top_k(x, k)
+
+
 def _thr_mask(interior: jnp.ndarray, thr, thr_mod: str) -> jnp.ndarray:
     """interior: [B, h', w', 1] -> bool mask (putils:232-240)."""
     B = interior.shape[0]
@@ -107,7 +123,7 @@ def generate_kpts_single(
             bmax = blocks.max(axis=-1)
             barg = jnp.argmax(blocks, axis=-1)
             k = min(num_pts, bmax.shape[1])
-            scores_sel, bidx = jax.lax.top_k(bmax, k)
+            scores_sel, bidx = _top_k(bmax, k)
             # recover flat indices in the (h2, w2) interior grid
             inner = jnp.take_along_axis(barg, bidx, axis=1)
             by = bidx // (wp // fold)
@@ -121,7 +137,7 @@ def generate_kpts_single(
             # clamp k to the number of positions (tiny images), pad the
             # slate back to the static num_pts with zero-score entries
             k = min(num_pts, masked.shape[1])
-            scores_sel, idx = jax.lax.top_k(masked, k)
+            scores_sel, idx = _top_k(masked, k)
         kps = jnp.take_along_axis(
             grids.reshape(B, -1, 2), idx[..., None], axis=1
         )
