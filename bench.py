@@ -112,6 +112,8 @@ def bench_extraction(batch_size: int, dtype, n_scan: int = 8):
 
 
 def main():
+    import os
+
     backend = jax.default_backend()
     results = {}
     configs = [
@@ -122,6 +124,18 @@ def main():
     ]
     if backend == "cpu":  # keep CI fast
         configs = [(1, jnp.float32)]
+    # A/B experiments: restrict to a subset, e.g. POSFEAT_BENCH_CONFIGS=
+    # "16:bf16,32:bf16" — each env-gated variant is a fresh remote compile
+    # (~5-12 min on the axon relay), so measuring one batch size at a
+    # time matters
+    sel = os.environ.get("POSFEAT_BENCH_CONFIGS")
+    if sel:
+        want = set(sel.split(","))
+        configs = [
+            (bs, dt)
+            for bs, dt in configs
+            if f"{bs}:{'bf16' if dt == jnp.bfloat16 else 'f32'}" in want
+        ]
     for bs, dt in configs:
         try:
             ips = bench_extraction(bs, dt, n_scan=2 if backend == "cpu" else 16)
