@@ -1,0 +1,59 @@
+#!/bin/bash
+# TPU validation runbook — run when the relay recovers.
+# Each step logs to /tmp/runbook/<step>.log. Steps are ordered so that
+# cheap/decisive measurements come first and every program compile is
+# cached for later steps.
+set -x
+mkdir -p /tmp/runbook
+cd /root/repo
+CKPT=/tmp/convergence_dlnges9n/ckpts/conv_kp/001
+
+# 1. Matched-dtype device parity of the im2col head variant (kernel + model)
+timeout 3000 python /tmp/kp_parity2.py > /tmp/runbook/01_parity_im2col.log 2>&1
+
+# 2. Trained-probe baseline: f32-XLA vs bf16-Pallas MMA@3px (VERDICT #4)
+timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/02_probe_base.log 2>&1
+
+# 3. Trained-probe per variant (each changes only the bf16 program)
+POSFEAT_HEAD_IM2COL=1 timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/03_probe_im2col.log 2>&1
+POSFEAT_SAMPLE_IMPL=pair timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/04_probe_pair.log 2>&1
+POSFEAT_TOPK=approx timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/05_probe_approx.log 2>&1
+
+# 4. Bench A/Bs at bs16 only (one compile each)
+export POSFEAT_BENCH_CONFIGS=16:bf16
+timeout 3000 python bench.py > /tmp/runbook/10_bench_base.log 2>&1
+POSFEAT_HEAD_IM2COL=1 timeout 3000 python bench.py > /tmp/runbook/11_bench_im2col.log 2>&1
+POSFEAT_SAMPLE_IMPL=pair timeout 3000 python bench.py > /tmp/runbook/12_bench_pair.log 2>&1
+POSFEAT_TOPK=approx timeout 3000 python bench.py > /tmp/runbook/13_bench_approx.log 2>&1
+POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx \
+  timeout 3000 python bench.py > /tmp/runbook/14_bench_all.log 2>&1
+
+# 5. bs32 with the winning combo (judged later; compile is the cost)
+POSFEAT_BENCH_CONFIGS=32:bf16 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx \
+  timeout 3000 python bench.py > /tmp/runbook/15_bench_bs32_all.log 2>&1
+
+# 6. Tile-size sweep for kernel1 under im2col (one big matmul per tile
+#    now — the 8x32 default was tuned for the 9-matmul dataflow)
+for T in "8,64" "16,32" "8,16"; do
+  POSFEAT_BENCH_CONFIGS=16:bf16 POSFEAT_HEAD_IM2COL=1 POSFEAT_HEAD_T1="$T" \
+    timeout 3000 python bench.py > /tmp/runbook/20_bench_im2col_t${T/,/x}.log 2>&1
+done
+
+# 6b. Fresh per-op trace with all gates on — what fat remains?
+POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx \
+  timeout 3000 python tools/trace_ops.py 16 bf16 pallas \
+  > /tmp/runbook/25_trace_all_gates.log 2>&1
+
+# 7. VERDICT done-criteria artifacts: product-path throughput test +
+#    selection-stability pytest (uses the surviving trained ckpt)
+timeout 4000 python -m pytest tests/test_extractor_throughput.py -x -q -s \
+  > /tmp/runbook/30_test_throughput.log 2>&1
+POSFEAT_RUN_STABILITY=1 POSFEAT_STABILITY_CKPT=$CKPT \
+  timeout 4000 python -m pytest tests/test_selection_stability.py -x -q -s \
+  > /tmp/runbook/31_test_stability.log 2>&1
+
+echo DONE > /tmp/runbook/STATUS
