@@ -581,12 +581,21 @@ def fused_head_tail(
         os.environ.get("POSFEAT_HEAD_IM2COL", "0") == "1" and mode == "v3"
     )
     tri = tri and not im2col  # mutually exclusive trunk layouts
+    # POSFEAT_HEAD_RING=0 drops the exact border-ring correction (the
+    # O(perimeter) thin-strip XLA machinery: dozens of small slice/
+    # einsum/rewrite ops per image). The score map is then approximate
+    # on a 2-px border ring (~1.2% of pixels, bounded delta; the
+    # detector already excludes a 1-px border, putils:232) and the IN
+    # statistics carry the ring's composite values. Speed-for-numerics
+    # trade judged by the trained-weights delta-MMA probe
+    # (tools/selection_stability.py), like the other fast-path gates.
+    ring = os.environ.get("POSFEAT_HEAD_RING", "1") == "1"
     return _fused_head_tail(
         trunk, img_s, img_y, img_mu, img_a, k1_img, b1_img,
         k2_trunk, k2_img, b2, w3, b3, prelu_a,
         act=act, k=k, eps=eps, interpret=interpret,
         debug_intermediates=debug_intermediates, tiles=tiles, zt=zt,
-        mode=mode, tri=tri, im2col=im2col,
+        mode=mode, tri=tri, im2col=im2col, ring=ring,
     )
 
 
@@ -594,7 +603,7 @@ def fused_head_tail(
     jax.jit,
     static_argnames=(
         "act", "k", "interpret", "debug_intermediates", "tiles", "zt",
-        "mode", "tri", "im2col",
+        "mode", "tri", "im2col", "ring",
     ),
 )
 def _fused_head_tail(
@@ -621,6 +630,7 @@ def _fused_head_tail(
     mode: str = "v3",
     tri: bool = False,
     im2col: bool = False,
+    ring: bool = True,
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
@@ -749,7 +759,9 @@ def _fused_head_tail(
     cin_p = ((cin + 127) // 128) * 128
     kph = _phase_kernel(k2_trunk, k)
     kph = jnp.pad(kph, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0))).astype(dt)
-    T, Bo, L, R = _ring_strips(trunk, k2_trunk, k)
+    T = Bo = L = R = None
+    if ring:
+        T, Bo, L, R = _ring_strips(trunk, k2_trunk, k)
     b2ph = jnp.tile(b2.astype(jnp.float32), kk)[None, :]  # [1, kk*cout]
     # edge pad (upsample clamp) + zero overhang for the aligned halo DMA
     tp = jnp.pad(trunk, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
@@ -1005,7 +1017,9 @@ def _fused_head_tail(
     # (ring width 2: strips G_*). Compute the exact ring values, correct
     # the IN1 statistics analytically, and later rewrite u's ring —
     # conv3 is 1x1, so interior pixels are untouched by ring errors.
-    if mode == "v3":
+    if not ring:
+        row_ids, col_ids, margin = [], [], 0
+    elif mode == "v3":
         G_top, G_bot, G_left, G_right = _img_ring_deltas(
             img_s, img_y, mu32, a32, K5, k2_img, b_z, Hf, Wf
         )
@@ -1207,19 +1221,20 @@ def _fused_head_tail(
     sc2 = jax.lax.rsqrt(var2 + eps)
 
     # overwrite the ring (columns first; rows then own the corners)
-    for wcol, ids in ((0, [r for r in col_ids if r < k // 2]),
-                      (w - 1, [r for r in col_ids if r >= k // 2])):
-        uw = u[:, :, wcol, :].reshape(B, h, kk, out_ch)
-        for rx in ids:
-            uw = uw.at[:, :, rx::k, :].set(
-                u_col_e[rx].reshape(B, h, k, out_ch)
+    if ring:
+        for wcol, ids in ((0, [r for r in col_ids if r < k // 2]),
+                          (w - 1, [r for r in col_ids if r >= k // 2])):
+            uw = u[:, :, wcol, :].reshape(B, h, kk, out_ch)
+            for rx in ids:
+                uw = uw.at[:, :, rx::k, :].set(
+                    u_col_e[rx].reshape(B, h, k, out_ch)
+                )
+            u = u.at[:, :, wcol, :].set(uw.reshape(B, h, kk * out_ch))
+        for ry in row_ids:
+            hrow = 0 if ry < k // 2 else h - 1
+            u = u.at[:, hrow, :, ry * ko : (ry + 1) * ko].set(
+                u_row_e[ry].reshape(B, w, ko)
             )
-        u = u.at[:, :, wcol, :].set(uw.reshape(B, h, kk * out_ch))
-    for ry in row_ids:
-        hrow = 0 if ry < k // 2 else h - 1
-        u = u.at[:, hrow, :, ry * ko : (ry + 1) * ko].set(
-            u_row_e[ry].reshape(B, w, ko)
-        )
 
     u = u.reshape(B, h, w, kk, out_ch)
     xn = (u - mu2[:, None, None, None, :]) * sc2[:, None, None, None, :]
@@ -1233,9 +1248,12 @@ def _fused_head_tail(
     s = s.reshape(B, h, w, k, k, out_ch)
     s = s.transpose(0, 1, 3, 2, 4, 5).reshape(B, h * k, w * k, out_ch)
     if debug_intermediates:
-        return s.astype(dt), {
+        dbg = {
             "z": z, "ssum": ssum, "mu": mu, "sc": sc, "d1": d1,
             "u": u, "mu2": mu2, "sc2": sc2, "us": us,
-            "e_top": row_e[0], "u_top_e": u_row_e[0],
         }
+        if ring:
+            dbg["e_top"] = row_e[0]
+            dbg["u_top_e"] = u_row_e[0]
+        return s.astype(dt), dbg
     return s.astype(dt)
