@@ -107,15 +107,75 @@ def op_times(path):
     return dict(agg)
 
 
+import re
+
+_CONV_RE = re.compile(r"fusion\((bf16|f32)\[[1357],[1357],\d+,\d+\]")
+
+_GROUPS = [
+    # (label, substring tests on the HLO text) — first match wins
+    ("head_kernels", ("fused_head_tail",)),
+    ("sort_topk", ("sort(", " sort.", "partial_reduce", "approx")),
+    ("gather", ("gather",)),
+    ("pad", ("= pad(", " pad(",)),
+    ("copy_transpose", ("copy(", "transpose(",)),
+    ("nms_window", ("reduce-window",)),
+    ("conv", ("convolution", "conv(",)),
+    ("reduce", ("reduce(",)),
+]
+
+
+def is_wrapper(text):
+    """Control-flow ops contain their body's time — exclude from totals."""
+    head = text.split("=", 1)[-1].lstrip().lstrip("(")
+    return text.startswith(("%while", "%conditional", "%call")) or (
+        head.startswith(("while(", "conditional(", "call("))
+    ) or " while(" in text[:140]
+
+
+def group_of(text):
+    # conv fusions carry the [kh,kw,Cin,Cout] kernel as an operand
+    if _CONV_RE.search(text):
+        return "conv"
+    for label, needles in _GROUPS:
+        if any(n in text for n in needles):
+            return label
+    return "other"
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/posfeat_trace"
     n_img = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     agg = op_times(path)
-    items = sorted(agg.items(), key=lambda kv: -kv[1])
-    total = sum(agg.values())
+    items = sorted(
+        ((k, v) for k, v in agg.items() if not is_wrapper(k)),
+        key=lambda kv: -kv[1],
+    )
+    total = sum(ps for _, ps in items)
     print(f"total XLA-op device time: {total / 1e12 * 1e3 / n_img:.3f} ms/img "
-          f"({len(items)} distinct ops, /{n_img} images)")
+          f"({len(items)} distinct ops, /{n_img} images; "
+          f"control-flow wrappers excluded)")
+
+    # grouped totals INCLUDING the long tail below the per-op cutoff —
+    # the tail of sub-0.01ms ops is where thin-strip/stat machinery hides
+    shown = set()
+    for name, ps in items[:top_n]:
+        if ps / 1e12 * 1e3 / n_img >= 0.001:
+            shown.add(name)
+    groups = defaultdict(lambda: [0, 0, 0])  # ps, n_ops, tail_ps
+    for name, ps in items:
+        g = groups[group_of(name)]
+        g[0] += ps
+        g[1] += 1
+        if name not in shown:
+            g[2] += ps
+    print("\nby group (tail = ops below the per-op print cutoff):")
+    for label, (ps, n, tail_ps) in sorted(
+        groups.items(), key=lambda kv: -kv[1][0]
+    ):
+        print(f"{ps / 1e12 * 1e3 / n_img:8.4f} ms/img  {label:<16} "
+              f"({n} ops, tail {tail_ps / 1e12 * 1e3 / n_img:.4f})")
+    print()
     for name, ps in items[:top_n]:
         ms = ps / 1e12 * 1e3 / n_img
         if ms < 0.001:
