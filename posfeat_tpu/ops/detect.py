@@ -94,10 +94,27 @@ def generate_kpts_single(
         else:
             count_src = nms_mask
 
-    # 3×3 score-weighted coordinate refinement (putils:242-247)
-    grids_org = gen_grid(-1, 1, -1, 1, H, W, dtype=kp_map.dtype).reshape(1, H, W, 2)
-    grids = avg_pool2d(kp_map * grids_org, 3, stride) / avg_pool2d(kp_map, 3, stride)
-    kp_score_map = max_pool2d(kp_map, 3, stride)
+    # 3×3 score-weighted coordinate refinement (putils:242-247).
+    # POSFEAT_REFINE=sel evaluates the same quantities only at the
+    # selected top-k positions (9 gathered neighbor scores per point,
+    # exploiting that the linspace grid is affine in the pixel index)
+    # instead of pooling three full-resolution 1-2 channel maps —
+    # lane-hostile ops on TPU whose results are then sampled at only
+    # num_pts positions anyway. Exact same math; valid (unpadded)
+    # windows mean every selected interior point has all 9 neighbors.
+    import os
+
+    refine_sel = (
+        os.environ.get("POSFEAT_REFINE") == "sel" and stride == 1 and stable
+    )
+    if not refine_sel:
+        grids_org = gen_grid(
+            -1, 1, -1, 1, H, W, dtype=kp_map.dtype
+        ).reshape(1, H, W, 2)
+        grids = avg_pool2d(kp_map * grids_org, 3, stride) / avg_pool2d(
+            kp_map, 3, stride
+        )
+        kp_score_map = max_pool2d(kp_map, 3, stride)
 
     valid_count = count_src.reshape(B, -1).sum(axis=1).astype(jnp.int32)
 
@@ -138,12 +155,34 @@ def generate_kpts_single(
             # slate back to the static num_pts with zero-score entries
             k = min(num_pts, masked.shape[1])
             scores_sel, idx = _top_k(masked, k)
-        kps = jnp.take_along_axis(
-            grids.reshape(B, -1, 2), idx[..., None], axis=1
-        )
-        kp_score = jnp.take_along_axis(
-            kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
-        )
+        if refine_sel:
+            # window top-left of pool-output cell (r, c) is full-map
+            # (r, c); gather the 3×3 neighborhood scores per point
+            r = idx // w2
+            c = idx % w2
+            offs = (
+                jnp.arange(3)[:, None] * W + jnp.arange(3)[None, :]
+            ).reshape(-1)
+            idx9 = (r * W + c)[..., None] + offs[None, None, :]
+            flat = kp_map.reshape(B, H * W).astype(jnp.float32)
+            s9 = jnp.take_along_axis(
+                flat, idx9.reshape(B, -1), axis=1
+            ).reshape(B, -1, 3, 3)
+            stot = s9.sum(axis=(2, 3))
+            jw = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
+            fx = (s9.sum(axis=2) @ jw) / stot  # in-window col offset
+            fy = (s9.sum(axis=3) @ jw) / stot
+            kx = -1.0 + 2.0 * (c.astype(jnp.float32) + fx) / (W - 1)
+            ky = -1.0 + 2.0 * (r.astype(jnp.float32) + fy) / (H - 1)
+            kps = jnp.stack([kx, ky], axis=-1).astype(kp_map.dtype)
+            kp_score = s9.max(axis=(2, 3))[..., None].astype(kp_map.dtype)
+        else:
+            kps = jnp.take_along_axis(
+                grids.reshape(B, -1, 2), idx[..., None], axis=1
+            )
+            kp_score = jnp.take_along_axis(
+                kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
+            )
         if k < num_pts:
             pad = num_pts - k
             kps = jnp.pad(kps, ((0, 0), (0, pad), (0, 0)))
