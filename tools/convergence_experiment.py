@@ -43,6 +43,17 @@ MODEL_CONFIG = {
     "local_with_img": True,
 }
 
+# CONV_MODEL=head192 keeps the CPU-trainable resnet18 encoder but sets
+# fine_out_ch=128 so the KeypointDet head gets the FLAGSHIP channel
+# shapes (in_channels = 128 fine + 64 stem = 192, Cy=64, Cout=128) —
+# the shapes whose lane alignment the Pallas fast paths (im2col, ring)
+# are sensitive to. A checkpoint trained with this config makes the
+# trained-weights delta-MMA probe exercise the exact flagship head
+# programs end to end.
+if os.environ.get("CONV_MODEL") == "head192":
+    MODEL_CONFIG["backbone_config"]["fine_out_ch"] = 128
+    MODEL_CONFIG["localheader_config"]["in_channels"] = 192
+
 H, W = 96, 128
 
 

@@ -60,4 +60,20 @@ POSFEAT_RUN_STABILITY=1 POSFEAT_STABILITY_CKPT=$CKPT \
   timeout 4000 python -m pytest tests/test_selection_stability.py -x -q -s \
   > /tmp/runbook/31_test_stability.log 2>&1
 
+# 8. Flagship-head-shaped trained probe (192-ch head; ckpt trained on
+#    CPU this session with CONV_MODEL=head192) — the delta-MMA probe
+#    then exercises the exact flagship head programs the bench runs
+CKPT2=/tmp/conv_head192/ckpts/conv_kp/001
+if [ -d "$CKPT2" ]; then
+  CONV_MODEL=head192 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/40_probe192_base.log 2>&1
+  CONV_MODEL=head192 POSFEAT_HEAD_IM2COL=1 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/41_probe192_im2col.log 2>&1
+  CONV_MODEL=head192 POSFEAT_HEAD_RING=0 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/42_probe192_noring.log 2>&1
+  CONV_MODEL=head192 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_REFINE=sel \
+    timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/43_probe192_all.log 2>&1
+fi
+
 echo DONE > /tmp/runbook/STATUS
