@@ -95,17 +95,21 @@ def generate_kpts_single(
             count_src = nms_mask
 
     # 3×3 score-weighted coordinate refinement (putils:242-247).
-    # POSFEAT_REFINE=sel evaluates the same quantities only at the
-    # selected top-k positions (9 gathered neighbor scores per point,
-    # exploiting that the linspace grid is affine in the pixel index)
-    # instead of pooling three full-resolution 1-2 channel maps —
-    # lane-hostile ops on TPU whose results are then sampled at only
-    # num_pts positions anyway. Exact same math; valid (unpadded)
-    # windows mean every selected interior point has all 9 neighbors.
+    # The default ('sel') evaluates the refinement only at the selected
+    # top-k positions (9 gathered neighbor scores per point, exploiting
+    # that the linspace grid is affine in the pixel index) instead of
+    # pooling three full-resolution 1-2 channel maps — lane-hostile ops
+    # on TPU whose results are then sampled at only num_pts positions
+    # anyway. Exact same math (jitted parity test pins agreement);
+    # valid (unpadded) windows mean every selected interior point has
+    # all 9 neighbors. POSFEAT_REFINE=pool forces the pooled-map
+    # formulation (also used whenever stride != 1 or stable is False).
     import os
 
     refine_sel = (
-        os.environ.get("POSFEAT_REFINE") == "sel" and stride == 1 and stable
+        os.environ.get("POSFEAT_REFINE", "sel") != "pool"
+        and stride == 1
+        and stable
     )
     if not refine_sel:
         grids_org = gen_grid(

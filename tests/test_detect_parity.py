@@ -105,6 +105,7 @@ def test_refine_sel_matches_pooled(rng, monkeypatch, thr):
 
     kp_map = jnp.asarray((rng.rand(2, 60, 76, 1) + 0.01).astype(np.float32))
     kw = dict(num_pts=200, nms_radius=1, use_nms=True, thr=thr, thr_mod="abs")
+    monkeypatch.setenv("POSFEAT_REFINE", "pool")
     f = jax.jit(lambda m: generate_kpts_single(m, **kw))
     kps0, score0, valid0 = f(kp_map)
     monkeypatch.setenv("POSFEAT_REFINE", "sel")

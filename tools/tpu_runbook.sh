@@ -32,12 +32,12 @@ POSFEAT_HEAD_IM2COL=1 timeout 3000 python bench.py > /tmp/runbook/11_bench_im2co
 POSFEAT_SAMPLE_IMPL=pair timeout 3000 python bench.py > /tmp/runbook/12_bench_pair.log 2>&1
 POSFEAT_TOPK=approx timeout 3000 python bench.py > /tmp/runbook/13_bench_approx.log 2>&1
 POSFEAT_HEAD_RING=0 timeout 3000 python bench.py > /tmp/runbook/13b_bench_noring.log 2>&1
-POSFEAT_REFINE=sel timeout 3000 python bench.py > /tmp/runbook/13c_bench_refinesel.log 2>&1
-POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_REFINE=sel \
+POSFEAT_REFINE=pool timeout 3000 python bench.py > /tmp/runbook/13c_bench_refinepool.log 2>&1
+POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
   timeout 3000 python bench.py > /tmp/runbook/14_bench_all.log 2>&1
 
 # 5. bs32 with the winning combo (judged later; compile is the cost)
-POSFEAT_BENCH_CONFIGS=32:bf16 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_REFINE=sel \
+POSFEAT_BENCH_CONFIGS=32:bf16 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
   timeout 3000 python bench.py > /tmp/runbook/15_bench_bs32_all.log 2>&1
 
 # 6. Tile-size sweep for kernel1 under im2col (one big matmul per tile
@@ -48,7 +48,7 @@ for T in "8,64" "16,32" "8,16"; do
 done
 
 # 6b. Fresh per-op trace with all gates on — what fat remains?
-POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_REFINE=sel \
+POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
   timeout 3000 python tools/trace_ops.py 16 bf16 pallas \
   > /tmp/runbook/25_trace_all_gates.log 2>&1
 
@@ -71,7 +71,7 @@ if [ -d "$CKPT2" ]; then
     > /tmp/runbook/41_probe192_im2col.log 2>&1
   CONV_MODEL=head192 POSFEAT_HEAD_RING=0 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
     > /tmp/runbook/42_probe192_noring.log 2>&1
-  CONV_MODEL=head192 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_REFINE=sel \
+  CONV_MODEL=head192 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
     timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
     > /tmp/runbook/43_probe192_all.log 2>&1
 fi
