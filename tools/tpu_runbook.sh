@@ -7,6 +7,9 @@ set -x
 mkdir -p /tmp/runbook
 cd /root/repo
 CKPT=/tmp/convergence_dlnges9n/ckpts/conv_kp/001
+# probe fixtures must match the nuisance regime the checkpoints were
+# trained with (the calibrated medium recipe)
+export CONV_ROT=20 CONV_SCALE=0.18 CONV_PHOTO=1.15
 
 # 1. Matched-dtype device parity of the im2col head variant (kernel + model)
 timeout 3000 python /tmp/kp_parity2.py > /tmp/runbook/01_parity_im2col.log 2>&1
