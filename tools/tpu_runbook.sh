@@ -14,6 +14,11 @@ export CONV_ROT=20 CONV_SCALE=0.18 CONV_PHOTO=1.15
 # 1. Matched-dtype device parity of the im2col head variant (kernel + model)
 timeout 3000 python /tmp/kp_parity2.py > /tmp/runbook/01_parity_im2col.log 2>&1
 
+# 1b. Decisive bench pair first (2 compiles): baseline and all-gates —
+#     establishes the speed upside before the longer probe wave
+POSFEAT_BENCH_CONFIGS=16:bf16 timeout 3000 python bench.py > /tmp/runbook/10_bench_base.log 2>&1
+POSFEAT_BENCH_CONFIGS=16:bf16 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 timeout 3000 python bench.py > /tmp/runbook/14_bench_all.log 2>&1
+
 # 2. Trained-probe baseline: f32-XLA vs bf16-Pallas MMA@3px (VERDICT #4)
 timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
   > /tmp/runbook/02_probe_base.log 2>&1
@@ -30,14 +35,11 @@ POSFEAT_HEAD_RING=0 timeout 3000 python tools/selection_stability.py --ckpt $CKP
 
 # 4. Bench A/Bs at bs16 only (one compile each)
 export POSFEAT_BENCH_CONFIGS=16:bf16
-timeout 3000 python bench.py > /tmp/runbook/10_bench_base.log 2>&1
 POSFEAT_HEAD_IM2COL=1 timeout 3000 python bench.py > /tmp/runbook/11_bench_im2col.log 2>&1
 POSFEAT_SAMPLE_IMPL=pair timeout 3000 python bench.py > /tmp/runbook/12_bench_pair.log 2>&1
 POSFEAT_TOPK=approx timeout 3000 python bench.py > /tmp/runbook/13_bench_approx.log 2>&1
 POSFEAT_HEAD_RING=0 timeout 3000 python bench.py > /tmp/runbook/13b_bench_noring.log 2>&1
 POSFEAT_REFINE=pool timeout 3000 python bench.py > /tmp/runbook/13c_bench_refinepool.log 2>&1
-POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
-  timeout 3000 python bench.py > /tmp/runbook/14_bench_all.log 2>&1
 
 # 5. bs32 with the winning combo (judged later; compile is the cost)
 POSFEAT_BENCH_CONFIGS=32:bf16 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
