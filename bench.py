@@ -130,12 +130,19 @@ def main():
     # time matters
     sel = os.environ.get("POSFEAT_BENCH_CONFIGS")
     if sel:
-        want = set(sel.split(","))
+        want = {w.strip() for w in sel.split(",")}
         configs = [
             (bs, dt)
             for bs, dt in configs
             if f"{bs}:{'bf16' if dt == jnp.bfloat16 else 'f32'}" in want
         ]
+        if not configs:
+            print(
+                f"POSFEAT_BENCH_CONFIGS={sel!r} matches no config on the "
+                f"{backend} backend — nothing to measure",
+                file=sys.stderr,
+            )
+            sys.exit(2)
     for bs, dt in configs:
         try:
             ips = bench_extraction(bs, dt, n_scan=2 if backend == "cpu" else 16)

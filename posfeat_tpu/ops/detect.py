@@ -168,10 +168,15 @@ def generate_kpts_single(
                 jnp.arange(3)[:, None] * W + jnp.arange(3)[None, :]
             ).reshape(-1)
             idx9 = (r * W + c)[..., None] + offs[None, None, :]
-            flat = kp_map.reshape(B, H * W).astype(jnp.float32)
-            s9 = jnp.take_along_axis(
-                flat, idx9.reshape(B, -1), axis=1
-            ).reshape(B, -1, 3, 3)
+            # gather in the map's native dtype (a full-res f32 convert
+            # would cost more HBM traffic than this path saves), cast
+            # only the gathered [B, k, 3, 3] values for the arithmetic
+            flat = kp_map.reshape(B, H * W)
+            s9 = (
+                jnp.take_along_axis(flat, idx9.reshape(B, -1), axis=1)
+                .reshape(B, -1, 3, 3)
+                .astype(jnp.float32)
+            )
             stot = s9.sum(axis=(2, 3))
             jw = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
             fx = (s9.sum(axis=2) @ jw) / stot  # in-window col offset

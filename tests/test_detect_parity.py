@@ -95,8 +95,13 @@ def test_generate_kpts_single_parity(rng, thr):
     )
 
 
-@pytest.mark.parametrize("thr", [False, 0.9])
-def test_refine_sel_matches_pooled(rng, monkeypatch, thr):
+@pytest.mark.parametrize(
+    "thr,use_nms",
+    # use_nms=True exercises the block-fold top-k decode; use_nms=False
+    # exercises the direct top-k index path
+    [(False, True), (0.9, True), (False, False)],
+)
+def test_refine_sel_matches_pooled(rng, monkeypatch, thr, use_nms):
     """POSFEAT_REFINE=sel (per-point 3x3 refinement from gathered
     neighbors) must reproduce the pooled-map formulation exactly — the
     grid is affine in the pixel index, so the weighted-average identity
@@ -104,7 +109,9 @@ def test_refine_sel_matches_pooled(rng, monkeypatch, thr):
     import jax
 
     kp_map = jnp.asarray((rng.rand(2, 60, 76, 1) + 0.01).astype(np.float32))
-    kw = dict(num_pts=200, nms_radius=1, use_nms=True, thr=thr, thr_mod="abs")
+    kw = dict(
+        num_pts=200, nms_radius=1, use_nms=use_nms, thr=thr, thr_mod="abs"
+    )
     monkeypatch.setenv("POSFEAT_REFINE", "pool")
     f = jax.jit(lambda m: generate_kpts_single(m, **kw))
     kps0, score0, valid0 = f(kp_map)

@@ -1,0 +1,114 @@
+"""Device parity of the fused-head dataflows at MATCHED bf16 dtype.
+
+Level 1: fused_head_tail directly — v1 vs v3 vs v3+im2col on identical
+operands (v3-baseline is the committed, parity-tested default; if
+im2col matches it to accumulation-order noise, the Mosaic-miscompile
+hypothesis is dead).
+Level 2: full KeypointDet — phase-XLA (no custom kernels) vs pallas(v3)
+vs pallas(v3+im2col): score max|d| and top-8192 membership overlap.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from posfeat_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, h, w, Cin, Cy, Cout = 2, 120, 160, 192, 64, 128
+out_ch = 2
+k = 4
+rng = np.random.RandomState(0)
+
+
+def mk(*shape, scale=1.0):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+
+trunk = mk(B, h, w, Cin, scale=0.5).astype(jnp.bfloat16)
+img_s = mk(B, k * h, k * w, 3)
+k1_img = mk(3, 3, 3, Cy, scale=0.2)
+b1_img = mk(Cy, scale=0.1)
+k2_trunk = mk(3, 3, Cin, Cout, scale=0.05)
+k2_img = mk(3, 3, Cy, Cout, scale=0.1)
+b2 = mk(Cout, scale=0.1)
+w3 = mk(1, 1, Cout, out_ch, scale=0.2)
+b3 = mk(out_ch, scale=0.1)
+prelu_a = jnp.asarray([0.25], jnp.float32)
+
+y_img = jax.lax.conv_general_dilated(
+    img_s.astype(jnp.bfloat16), k1_img.astype(jnp.bfloat16), (1, 1),
+    [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    precision=jax.lax.Precision.HIGHEST,
+) + b1_img.astype(jnp.bfloat16)
+y32 = y_img.astype(jnp.float32)
+mu = jnp.mean(y32, axis=(1, 2))
+var = jnp.maximum(jnp.mean(y32 * y32, axis=(1, 2)) - mu * mu, 0.0)
+a = jax.lax.rsqrt(var + 1e-5)
+
+import posfeat_tpu.ops.pallas.fused_head as fh
+
+
+def run(mode, im2col):
+    os.environ["POSFEAT_HEAD_MODE"] = mode
+    os.environ["POSFEAT_HEAD_IM2COL"] = "1" if im2col else "0"
+    out = fh.fused_head_tail(
+        trunk, img_s.astype(jnp.bfloat16), y_img, mu, a,
+        k1_img, b1_img, k2_trunk, k2_img, b2, w3, b3, prelu_a,
+        act="Softplus", k=k,
+    )
+    return np.asarray(out, np.float32)
+
+
+ref = run("v3", False)  # committed default, parity-tested vs XLA on CPU
+for label, mode, im2col in [("v1", "v1", False), ("v3-im2col", "v3", True)]:
+    o = run(mode, im2col)
+    d = np.abs(o - ref)
+    rel = d / (np.abs(ref) + 1e-3)
+    print(
+        f"L1 {label} vs v3: max|d|={d.max():.5f} mean|d|={d.mean():.6f} "
+        f"p99rel={np.percentile(rel, 99):.5f}",
+        flush=True,
+    )
+
+# ---------------- level 2: full KeypointDet --------------------------
+from posfeat_tpu.models.keypoint_det import KeypointDet
+
+fine = mk(B, h, w, Cin, scale=0.5)
+img = mk(B, k * h, k * w, 3)
+
+
+def head_out(dataflow, im2col):
+    os.environ["POSFEAT_HEAD_IM2COL"] = "1" if im2col else "0"
+    os.environ["POSFEAT_HEAD_MODE"] = "v3"
+    m = KeypointDet(
+        in_channels=Cin, out_channels=out_ch, prior="identity",
+        act="Softplus", fused_upsample=dataflow, dtype=jnp.bfloat16,
+    )
+    vs = m.init(jax.random.PRNGKey(1), fine, img)
+    f = jax.jit(lambda v, a_, b_: m.apply(v, a_, b_))
+    return np.asarray(
+        f(vs, fine.astype(jnp.bfloat16), img.astype(jnp.bfloat16)),
+        np.float32,
+    )
+
+
+sp = head_out("phase", False)
+s3 = head_out("pallas", False)
+si = head_out("pallas", True)
+
+for label, o in [("pallas-v3", s3), ("pallas-im2col", si)]:
+    d = np.abs(o - sp)
+    print(
+        f"L2 {label} vs phase-XLA: max|d|={d.max():.5f} mean|d|={d.mean():.6f}",
+        flush=True,
+    )
+    for b in range(B):
+        t_ref = np.argsort(sp[b, :, :, 0].ravel())[-8192:]
+        t_o = np.argsort(o[b, :, :, 0].ravel())[-8192:]
+        ov = len(set(t_ref) & set(t_o)) / 8192
+        print(f"   img{b} top-8192 overlap: {ov:.4f}", flush=True)

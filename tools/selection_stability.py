@@ -102,7 +102,27 @@ def trained_probe(ckpt, work=None, num_pts=512):
         os.makedirs(data_root)
         make_eval_fixture(data_root)
 
+    # Fast-path gates are read from the environment at trace time by
+    # code BOTH arms share (detect.py top-k, grid_sample impl), so a
+    # gate set for the probe run would otherwise contaminate the f32
+    # baseline and the probe would compare variant-vs-variant, reading
+    # delta ~0 even for a harmful approximation. Strip all gates for
+    # the f32 arm; restore the caller's environment for the bf16 arm.
+    GATES = (
+        "POSFEAT_TOPK", "POSFEAT_SAMPLE_IMPL", "POSFEAT_HEAD_IM2COL",
+        "POSFEAT_HEAD_RING", "POSFEAT_REFINE",
+    )
+    caller_gates = {g: os.environ.get(g) for g in GATES}
+
+    def _set_gates(values):
+        for g in GATES:
+            if values.get(g) is None:
+                os.environ.pop(g, None)
+            else:
+                os.environ[g] = values[g]
+
     def run(tag, compute_dtype, head_dataflow):
+        _set_gates({} if compute_dtype == "float32" else caller_gates)
         cfg = {
             "output_root": f"hp/{tag}",
             "postfix": "c",
@@ -141,6 +161,7 @@ def trained_probe(ckpt, work=None, num_pts=512):
 
     d32, mma32 = run("f32", "float32", False)
     dbf, mmabf = run("bf16", "bfloat16", "pallas")
+    _set_gates(caller_gates)  # leave the caller's environment intact
 
     overlaps, agreements = [], []
     feats = {}

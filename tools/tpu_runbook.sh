@@ -7,12 +7,21 @@ set -x
 mkdir -p /tmp/runbook
 cd /root/repo
 CKPT=/tmp/convergence_dlnges9n/ckpts/conv_kp/001
+if [ ! -d "$CKPT" ]; then
+  # checkpoint lost (host/tmp cleaned): retrain it on CPU first (~25 min)
+  POSFEAT_PLATFORM=cpu CONV_LR1=3e-4 CONV_PAIRS=512 CONV_ROT=20 CONV_SCALE=0.18 CONV_PHOTO=1.15 \
+    timeout 7000 python -c "
+import sys; sys.path[:0] = ['/root/repo', '/root/repo/tools']
+from selection_stability import train_probe_ckpt
+train_probe_ckpt('/tmp/convergence_dlnges9n', steps1=500, steps2=150)
+" > /tmp/runbook/00_retrain_ckpt.log 2>&1
+fi
 # probe fixtures must match the nuisance regime the checkpoints were
 # trained with (the calibrated medium recipe)
 export CONV_ROT=20 CONV_SCALE=0.18 CONV_PHOTO=1.15
 
 # 1. Matched-dtype device parity of the im2col head variant (kernel + model)
-timeout 3000 python /tmp/kp_parity2.py > /tmp/runbook/01_parity_im2col.log 2>&1
+timeout 3000 python tools/kp_parity2.py > /tmp/runbook/01_parity_im2col.log 2>&1
 
 # 1b. Decisive bench pair first (2 compiles): baseline and all-gates —
 #     establishes the speed upside before the longer probe wave
