@@ -220,8 +220,22 @@ class ResUNet(nn.Module):
         y = _skipconnect(y, x1)
         y = ConvBNElu(256, 3, 1, self.dtype, name="iconv2")(y, train)
 
-        x_fine = ConvBNElu(self.fine_out_ch, 1, 1, self.dtype, name="conv_fine")(
-            y, train
+        # POSFEAT_DESC_F32=1: run the final descriptor projection
+        # (conv_fine + BN + ELU) in f32 even when the trunk computes in
+        # bf16 — the 1x1 conv is ~1.3 GF/img, negligible, and the
+        # descriptor map then carries only the trunk's rounding instead
+        # of an extra projection/activation rounding (bf16 descriptor
+        # quantization dominates the fast path's MMA delta on the
+        # trained probe). Checkpoint-compatible: same module name.
+        import os
+
+        fine_dt = (
+            jnp.float32
+            if os.environ.get("POSFEAT_DESC_F32") == "1"
+            else self.dtype
+        )
+        x_fine = ConvBNElu(self.fine_out_ch, 1, 1, fine_dt, name="conv_fine")(
+            y.astype(fine_dt), train
         )
 
         return {

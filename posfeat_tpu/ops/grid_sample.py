@@ -20,8 +20,16 @@ def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
-def _sample_one(img: jnp.ndarray, pts: jnp.ndarray, padding_mode: str) -> jnp.ndarray:
-    """img: [H, W, C]; pts: [N, 2] normalized (x, y) -> [N, C]."""
+def _sample_one(
+    img: jnp.ndarray, pts: jnp.ndarray, padding_mode: str, lerp32: bool = False
+) -> jnp.ndarray:
+    """img: [H, W, C]; pts: [N, 2] normalized (x, y) -> [N, C].
+
+    lerp32: gather corner values in the map's dtype (bf16 gathers move
+    half the HBM bytes) but accumulate the bilinear lerp in f32 —
+    removes the interpolation rounding from the bf16 fast path at no
+    gather-bandwidth cost. Output is f32 when set.
+    """
     H, W, _ = img.shape
     ix = _unnormalize(pts[:, 0], W)
     iy = _unnormalize(pts[:, 1], H)
@@ -39,6 +47,7 @@ def _sample_one(img: jnp.ndarray, pts: jnp.ndarray, padding_mode: str) -> jnp.nd
     wy1 = iy - y0
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
+    acc_dt = jnp.float32 if lerp32 else img.dtype
 
     def corner(xc, yc, wx, wy):
         xi = xc.astype(jnp.int32)
@@ -50,8 +59,8 @@ def _sample_one(img: jnp.ndarray, pts: jnp.ndarray, padding_mode: str) -> jnp.nd
             w = wx * wy
         xi = jnp.clip(xi, 0, W - 1)
         yi = jnp.clip(yi, 0, H - 1)
-        vals = img[yi, xi]  # [N, C] gather
-        return vals * w[:, None].astype(img.dtype)
+        vals = img[yi, xi].astype(acc_dt)  # [N, C] gather
+        return vals * w[:, None].astype(acc_dt)
 
     out = (
         corner(x0, y0, wx0, wy0)
@@ -62,7 +71,9 @@ def _sample_one(img: jnp.ndarray, pts: jnp.ndarray, padding_mode: str) -> jnp.nd
     return out
 
 
-def _sample_one_pair(img: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+def _sample_one_pair(
+    img: jnp.ndarray, pts: jnp.ndarray, lerp32: bool = False
+) -> jnp.ndarray:
     """Pair-gather bilinear sampling, 'zeros' padding ([H, W, C], [N, 2]).
 
     The two x-adjacent corners of each bilinear footprint are contiguous
@@ -84,6 +95,7 @@ def _sample_one_pair(img: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     wy1 = (iy - y0).astype(jnp.float32)
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
+    acc_dt = jnp.float32 if lerp32 else img.dtype
 
     xi = x0.astype(jnp.int32)
     yi = y0.astype(jnp.int32)
@@ -120,15 +132,15 @@ def _sample_one_pair(img: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         w0 = jnp.where(valid_y & vx0, wx0, 0.0)
         w1 = jnp.where(valid_y & vx1, wx1, 0.0)
         return (
-            v[:, 0] * w0[:, None].astype(img.dtype)
-            + v[:, 1] * w1[:, None].astype(img.dtype)
+            v[:, 0].astype(acc_dt) * w0[:, None].astype(acc_dt)
+            + v[:, 1].astype(acc_dt) * w1[:, None].astype(acc_dt)
         )
 
     top = pair(jnp.clip(yi, 0, H - 1), vy(yi))
     bot = pair(jnp.clip(yi + 1, 0, H - 1), vy(yi + 1))
     return (
-        top * wy0[:, None].astype(img.dtype)
-        + bot * wy1[:, None].astype(img.dtype)
+        top * wy0[:, None].astype(acc_dt)
+        + bot * wy1[:, None].astype(acc_dt)
     )
 
 
@@ -137,12 +149,14 @@ def grid_sample(
     grid: jnp.ndarray,
     padding_mode: str = "zeros",
     impl: str = "corner",
+    lerp32: bool = False,
 ) -> jnp.ndarray:
     """Sample image [B, H, W, C] at grid [B, ..., 2] -> [B, ..., C].
 
     Grid holds normalized (x, y) with torch align_corners=False semantics.
     impl='pair' (zeros padding only) gathers x-adjacent corner pairs as
     (2, C) slices — fewer random-access rows on TPU, identical values.
+    lerp32: accumulate the lerp in f32 (bf16 corners gathered as-is).
     """
     assert padding_mode in ("zeros", "border"), padding_mode
     lead = grid.shape[1:-1]
@@ -150,10 +164,12 @@ def grid_sample(
     flat = grid.reshape(B, -1, 2)
     if impl == "pair":
         assert padding_mode == "zeros", "pair impl implements zeros padding"
-        out = jax.vmap(_sample_one_pair)(image, flat)
+        out = jax.vmap(_sample_one_pair, in_axes=(0, 0, None))(
+            image, flat, lerp32
+        )
     else:
-        out = jax.vmap(_sample_one, in_axes=(0, 0, None))(
-            image, flat, padding_mode
+        out = jax.vmap(_sample_one, in_axes=(0, 0, None, None))(
+            image, flat, padding_mode, lerp32
         )
     return out.reshape((B,) + lead + (image.shape[-1],))
 
@@ -174,7 +190,17 @@ def sample_feat_by_coord(
     import os
 
     impl = os.environ.get("POSFEAT_SAMPLE_IMPL", "corner")
-    feat = grid_sample(x, coord_n, padding_mode="zeros", impl=impl)
+    # POSFEAT_SAMPLE_F32 (default on): gather bf16 corners but lerp and
+    # L2-normalize in f32 — the gathers move the same (bf16) bytes, the
+    # cast happens on the gathered [N, C] slates inside the gather's
+    # consumer fusion, and the descriptor slate leaves here f32 (the
+    # npz contract is f32 anyway). On the trained probe this removes
+    # ~60% of the bf16 fast path's MMA delta (-0.0177 -> -0.0069).
+    lerp32 = (
+        os.environ.get("POSFEAT_SAMPLE_F32", "1") == "1"
+        and x.dtype != jnp.float32
+    )
+    feat = grid_sample(x, coord_n, padding_mode="zeros", impl=impl, lerp32=lerp32)
     if norm:
         feat = feat / jnp.clip(
             jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12, None
