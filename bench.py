@@ -118,6 +118,7 @@ def main():
     results = {}
     configs = [
         (1, jnp.float32),
+        (16, jnp.float32),  # exact-numerics mode at batch (quality story)
         (8, jnp.bfloat16),
         (16, jnp.bfloat16),
         (32, jnp.bfloat16),

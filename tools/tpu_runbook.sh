@@ -49,6 +49,8 @@ POSFEAT_SAMPLE_IMPL=pair timeout 3000 python bench.py > /tmp/runbook/12_bench_pa
 POSFEAT_TOPK=approx timeout 3000 python bench.py > /tmp/runbook/13_bench_approx.log 2>&1
 POSFEAT_HEAD_RING=0 timeout 3000 python bench.py > /tmp/runbook/13b_bench_noring.log 2>&1
 POSFEAT_REFINE=pool timeout 3000 python bench.py > /tmp/runbook/13c_bench_refinepool.log 2>&1
+POSFEAT_SAMPLE_F32=0 timeout 3000 python bench.py > /tmp/runbook/13d_bench_samplebf16.log 2>&1
+POSFEAT_BENCH_CONFIGS=16:f32 timeout 3000 python bench.py > /tmp/runbook/16_bench_f32_bs16.log 2>&1
 
 # 5. bs32 with the winning combo (judged later; compile is the cost)
 POSFEAT_BENCH_CONFIGS=32:bf16 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
