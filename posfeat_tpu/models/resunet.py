@@ -145,19 +145,68 @@ class ResNetEncoder(nn.Module):
         return feats  # [x_first(H/4,64), x1(H/4), x2(H/8), x3(H/16)]
 
 
+class _ConvAccumF32(nn.Module):
+    """bf16-in / f32-out conv: one native MXU pass (bf16 operands) with
+    the systolic array's f32 accumulator surfaced via
+    preferred_element_type — removes a bf16 trunk's per-block OUTPUT
+    rounding at only the f32 feature-map bandwidth cost (the MXU pass
+    count is unchanged). Parameter names/shapes match nn.Conv
+    ('kernel' [kh,kw,Cin,Cout], 'bias') so checkpoints interchange."""
+
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.out_ch),
+            jnp.float32,
+        )
+        p = (self.kernel - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            (self.stride, self.stride),
+            [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.out_ch,), jnp.float32
+            )
+            y = y + b
+        return y
+
+
 class ConvBNElu(nn.Module):
-    """The reference's `conv` block: Conv2d + BN + ELU (DescNet.py:167-179)."""
+    """The reference's `conv` block: Conv2d + BN + ELU (DescNet.py:167-179).
+
+    accum_f32: use the bf16-in/f32-out conv and keep BN + ELU in f32
+    (parameters identical either way)."""
 
     out_ch: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
+    accum_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _conv(self.out_ch, self.kernel, self.stride, self.dtype, "conv",
-                  use_bias=True)(x)
-        x = _bn(train, self.dtype, "bn")(x)
+        if self.accum_f32:
+            x = _ConvAccumF32(
+                self.out_ch, self.kernel, self.stride, name="conv"
+            )(x)
+            x = _bn(train, jnp.float32, "bn")(x)
+        else:
+            x = _conv(self.out_ch, self.kernel, self.stride, self.dtype,
+                      "conv", use_bias=True)(x)
+            x = _bn(train, self.dtype, "bn")(x)
         return nn.elu(x)
 
 
@@ -168,6 +217,7 @@ class UpConv(nn.Module):
     kernel: int = 3
     scale: int = 2
     dtype: Any = jnp.float32
+    accum_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -175,7 +225,8 @@ class UpConv(nn.Module):
         x = interpolate_bilinear(
             x, (H * self.scale, W * self.scale), align_corners=True
         )
-        return ConvBNElu(self.out_ch, self.kernel, 1, self.dtype, name="conv")(
+        return ConvBNElu(self.out_ch, self.kernel, 1, self.dtype,
+                         accum_f32=self.accum_f32, name="conv")(
             x, train
         )
 
@@ -212,31 +263,48 @@ class ResUNet(nn.Module):
             x3, train
         )
 
-        y = UpConv(512, 3, 2, self.dtype, name="upconv3")(x3, train)
-        y = _skipconnect(y, x2)
-        y = ConvBNElu(512, 3, 1, self.dtype, name="iconv3")(y, train)
-
-        y = UpConv(256, 3, 2, self.dtype, name="upconv2")(y, train)
-        y = _skipconnect(y, x1)
-        y = ConvBNElu(256, 3, 1, self.dtype, name="iconv2")(y, train)
-
-        # POSFEAT_DESC_F32=1: run the final descriptor projection
-        # (conv_fine + BN + ELU) in f32 even when the trunk computes in
-        # bf16 — the 1x1 conv is ~1.3 GF/img, negligible, and the
-        # descriptor map then carries only the trunk's rounding instead
-        # of an extra projection/activation rounding (bf16 descriptor
-        # quantization dominates the fast path's MMA delta on the
-        # trained probe). Checkpoint-compatible: same module name.
+        # Numerics knobs for the bf16 fast path (both no-ops at f32;
+        # both checkpoint-compatible; judged by the trained delta-MMA
+        # probe, tools/selection_stability.py):
+        #   POSFEAT_DECODER_ACCUM=f32 — decoder convs stay single bf16
+        #     MXU passes but surface the f32 accumulator
+        #     (bf16-in/f32-out) with BN/ELU in f32, removing the
+        #     descriptor path's per-block output rounding for only
+        #     feature-map bandwidth.
+        #   POSFEAT_DESC_F32=1 — final projection (conv_fine) fully f32
+        #     (~1.3 GF/img, negligible).
         import os
+
+        acc = (
+            os.environ.get("POSFEAT_DECODER_ACCUM") == "f32"
+            and self.dtype == jnp.bfloat16
+        )
+        y = UpConv(512, 3, 2, self.dtype, accum_f32=acc, name="upconv3")(
+            x3, train
+        )
+        y = _skipconnect(y, x2)
+        y = ConvBNElu(512, 3, 1, self.dtype, accum_f32=acc, name="iconv3")(
+            y, train
+        )
+
+        y = UpConv(256, 3, 2, self.dtype, accum_f32=acc, name="upconv2")(
+            y, train
+        )
+        y = _skipconnect(y, x1)
+        y = ConvBNElu(256, 3, 1, self.dtype, accum_f32=acc, name="iconv2")(
+            y, train
+        )
 
         fine_dt = (
             jnp.float32
             if os.environ.get("POSFEAT_DESC_F32") == "1"
             else self.dtype
         )
-        x_fine = ConvBNElu(self.fine_out_ch, 1, 1, fine_dt, name="conv_fine")(
-            y.astype(fine_dt), train
-        )
+        x_fine = ConvBNElu(
+            self.fine_out_ch, 1, 1, fine_dt,
+            accum_f32=acc and fine_dt != jnp.float32,  # DESC_F32 wins
+            name="conv_fine",
+        )(y.astype(fine_dt), train)
 
         return {
             "global_map": x_coarse,
