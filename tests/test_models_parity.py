@@ -200,3 +200,32 @@ def test_keypoint_det_parity(rng):
     np.testing.assert_allclose(
         np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=2e-4
     )
+
+
+def test_decoder_accum_f32_checkpoint_compatible(rng, monkeypatch):
+    """POSFEAT_DECODER_ACCUM=f32 swaps decoder convs for the
+    bf16-in/f32-out accumulator variant; its parameter tree must be
+    IDENTICAL to the default path (same names/shapes) so checkpoints
+    interchange, and outputs must agree to bf16 rounding."""
+    model = ResUNet(encoder="resnet18", pretrained=False,
+                    coarse_out_ch=64, fine_out_ch=64, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    v0 = model.init(jax.random.PRNGKey(0), x)
+    out0 = model.apply(v0, x)
+
+    monkeypatch.setenv("POSFEAT_DECODER_ACCUM", "f32")
+    model2 = ResUNet(encoder="resnet18", pretrained=False,
+                     coarse_out_ch=64, fine_out_ch=64, dtype=jnp.bfloat16)
+    v1 = model2.init(jax.random.PRNGKey(0), x)
+    t0 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v0)
+    t1 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v1)
+    assert t0 == t1
+    # cross-load: default-path params through the accum path
+    out1 = model2.apply(v0, x)
+    d = np.abs(
+        np.asarray(out1["local_map"], np.float32)
+        - np.asarray(out0["local_map"], np.float32)
+    )
+    scale = float(np.abs(np.asarray(out0["local_map"], np.float32)).mean())
+    assert np.isfinite(d).all()
+    assert d.max() <= 0.12 * max(scale, 1e-3), (d.max(), scale)
