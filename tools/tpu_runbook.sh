@@ -20,6 +20,9 @@ fi
 # trained with (the calibrated medium recipe)
 export CONV_ROT=20 CONV_SCALE=0.18 CONV_PHOTO=1.15
 
+# 0. Connectivity + device record
+timeout 600 python -c "import jax; print(jax.devices())" > /tmp/runbook/00_devices.log 2>&1
+
 # 1. Matched-dtype device parity of the im2col head variant (kernel + model)
 timeout 3000 python tools/kp_parity2.py > /tmp/runbook/01_parity_im2col.log 2>&1
 
