@@ -154,11 +154,21 @@ class Extractor:
             mean = jnp.asarray(IMAGENET_MEAN)
             std = jnp.asarray(IMAGENET_STD)
 
+            out_dt = self.model.dtype
+
             def run(variables, im_u8):
                 im = (im_u8.astype(jnp.float32) / 255.0 - mean) / std
                 outputs = self.model.extract(variables, im, train=False)
                 coord_n, score, valid = detector(outputs["local_point"])
                 feat = sample_feat_by_coord(outputs["local_map"], coord_n, cos)
+                # transport dtype = compute dtype: the f32-lerp sampling
+                # default yields f32 slates on device, but shipping them
+                # would double the device->host descriptor bytes (the
+                # product path's throughput cap on IO-starved links).
+                # One final rounding AFTER the f32 lerp + normalize costs
+                # no measurable MMA (trained probe) — it is the bf16
+                # *accumulation* the default removes, not storage.
+                feat = feat.astype(out_dt)
                 coords = denormalize_coords(coord_n, H, W)
                 return coords, score, feat, valid
 
@@ -381,16 +391,27 @@ class Extractor:
         # need not sum to the wall time
         timing = {"decode": 0.0, "upload": 0.0, "dispatch": 0.0,
                   "fetch": 0.0, "convert": 0.0, "write": 0.0}
+        t_lock = threading.Lock()  # += from 3 thread groups
+
+        def t_add(k, dt):
+            with t_lock:
+                timing[k] += dt
+
         want_timing = os.environ.get("POSFEAT_EXTRACT_TIMING") == "1"
 
         def write_one(inputs, processed, n_emit):
             t0 = time.perf_counter()
             self._write_one(inputs, processed)
-            timing["write"] += time.perf_counter() - t0
+            t_add("write", time.perf_counter() - t0)
             self.logger.info(f"{inputs['name1']}\nkpts: {n_emit}")
 
         def finish(key, items, out):
             shape, det_cfg_key = key
+            # wait for device EXECUTION before taking the io_lock — the
+            # lock only serializes wire transfers; holding it through
+            # execution would stall the next batch's upload/dispatch
+            # behind compute and serialize the whole pipeline
+            jax.block_until_ready(out)
             # fetch in the DEVICE dtype and convert on host: converting
             # bf16->f32 on device before the transfer would double the
             # bytes over the host<->device link
@@ -398,11 +419,11 @@ class Extractor:
             with io_lock:
                 coords, score, feat, valid = [np.asarray(o) for o in out]
             t1 = time.perf_counter()
-            timing["fetch"] += t1 - t0
+            t_add("fetch", t1 - t0)
             coords = coords.astype(np.float32)
             score = score.astype(np.float32)
             feat = feat.astype(np.float32)
-            timing["convert"] += time.perf_counter() - t1
+            t_add("convert", time.perf_counter() - t1)
             num_pts = self.config[det_cfg_key]["num_pts"]
             for j, inputs in enumerate(items):
                 # reference dynamic count (putils:249-261)
@@ -428,33 +449,45 @@ class Extractor:
                 batch = jnp.asarray(stacked)
                 batch.block_until_ready()
             t1 = time.perf_counter()
-            timing["upload"] += t1 - t0
+            t_add("upload", t1 - t0)
             out = self._learned_fn(shape, det_cfg_key)(self.variables, batch)
-            timing["dispatch"] += time.perf_counter() - t1
+            t_add("dispatch", time.perf_counter() - t1)
             fetch_futs.append(fetch_pool.submit(finish, key, items, out))
             # bound the number of live device result buffers
             while len(fetch_futs) > 4:
                 fetch_futs.popleft().result()
 
-        t_prev = time.perf_counter()
-        for idx, inputs in self._prefetch():
-            timing["decode"] += time.perf_counter() - t_prev
-            names[idx] = inputs["name1"]
-            n_images += 1
-            H, W = inputs["im1_ori"].shape[:2]
-            key = ((H, W), self._det_cfg_key(inputs))
-            buckets.setdefault(key, []).append(inputs)
-            if len(buckets[key]) == bs:
-                dispatch(key)
+        # bound host memory on shape-diverse datasets (e.g. HPatches:
+        # per-sequence resolutions rarely fill a 16-slot bucket): once
+        # this many decoded images are pending, flush the fullest bucket
+        # as a padded partial batch — bounded pad-waste beats unbounded
+        # accumulation of decoded uint8 frames
+        pending_cap = max(4 * bs, 32)
+        try:
             t_prev = time.perf_counter()
-        for key in list(buckets):
-            dispatch(key)
-        while fetch_futs:  # surface fetch errors
-            fetch_futs.popleft().result()
-        while write_futs:  # surface write errors
-            write_futs.popleft().result()
-        fetch_pool.shutdown(wait=True)
-        write_pool.shutdown(wait=True)
+            for idx, inputs in self._prefetch():
+                t_add("decode", time.perf_counter() - t_prev)
+                names[idx] = inputs["name1"]
+                n_images += 1
+                H, W = inputs["im1_ori"].shape[:2]
+                key = ((H, W), self._det_cfg_key(inputs))
+                buckets.setdefault(key, []).append(inputs)
+                if len(buckets[key]) == bs:
+                    dispatch(key)
+                elif sum(len(v) for v in buckets.values()) >= pending_cap:
+                    dispatch(max(buckets, key=lambda k: len(buckets[k])))
+                t_prev = time.perf_counter()
+            for key in list(buckets):
+                dispatch(key)
+            while fetch_futs:  # surface fetch errors
+                fetch_futs.popleft().result()
+            while write_futs:  # surface write errors
+                write_futs.popleft().result()
+        finally:
+            # on error: stop accepting work and surface the first
+            # exception rather than leaking live pools / silent writes
+            fetch_pool.shutdown(wait=True)
+            write_pool.shutdown(wait=True)
         if want_timing:
             self.logger.info(
                 "pipeline seconds: "

@@ -248,7 +248,7 @@ def generate_kpts_single_noavg(
 
     masked = (nms_mask * kp_map).reshape(B, -1)
     k = min(num_pts, masked.shape[1])
-    _, idx = jax.lax.top_k(masked, k)
+    _, idx = _top_k(masked, k)
     kps = jnp.take_along_axis(grids.reshape(B, -1, 2), idx[..., None], axis=1)
     kp_score = jnp.take_along_axis(
         kp_map.reshape(B, -1, 1), idx[..., None], axis=1
@@ -314,7 +314,7 @@ def generate_kpts_regular_grid_single(
 
     if num_pts:
         k = min(num_pts, kps.shape[1])
-        top_score, top_idx = jax.lax.top_k((mask * score)[..., 0], k)
+        top_score, top_idx = _top_k((mask * score)[..., 0], k)
         kps = jnp.take_along_axis(kps, top_idx[..., None], axis=1)
         score = top_score[..., None]
         if k < num_pts:

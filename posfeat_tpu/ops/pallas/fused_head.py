@@ -447,7 +447,7 @@ def _pick_tile(n: int, pref: int) -> int:
 
 
 
-def _img_ring_deltas(s, y, mu, a, K5, k2i, b_z, Hf, Wf):
+def _img_ring_deltas(s, y, mu, a, K5, k2i, b_z):
     """f32 deltas (composite − exact) of the image branch on the 2-px
     border ring, where composite-of-zero-pads != zero-pad-of-composite.
 
@@ -1021,7 +1021,7 @@ def _fused_head_tail(
         row_ids, col_ids, margin = [], [], 0
     elif mode == "v3":
         G_top, G_bot, G_left, G_right = _img_ring_deltas(
-            img_s, img_y, mu32, a32, K5, k2_img, b_z, Hf, Wf
+            img_s, img_y, mu32, a32, K5, k2_img, b_z
         )
         row_ids = [0, 1, k - 2, k - 1]
         col_ids = [0, 1, k - 2, k - 1]

@@ -513,7 +513,10 @@ class Trainer:
         from ..ops.matchers import mnn_matcher
 
         mid_pad = 20  # reference trainer.py:385
-        h, w = sample["im1"].shape[:2]
+        # MegaDepth pairs are read at native sizes — the two images of a
+        # pair can differ; every normalize/denormalize must use ITS
+        # image's dims and the canvases pad to the max height
+        dims = {t: sample[t].shape[:2] for t in ("im1", "im2") if t in sample}
         sample_dir = os.path.join(self.save_root, "vis", f"sample{si}")
         for folder in self._VIS_FOLDERS:
             os.makedirs(os.path.join(sample_dir, folder), exist_ok=True)
@@ -530,6 +533,7 @@ class Trainer:
         feats = {}
         for tag, ctag in (("im1", "coord1"), ("im2", "coord2")):
             o = outs[tag]
+            h, w = dims[tag]
             if det_name == "sift":
                 # SIFT passthrough (reference trainer.py:459-466): the val
                 # sample's query keypoints, unit scores
@@ -588,8 +592,13 @@ class Trainer:
 
         im1 = np.asarray(sample["im1_ori"], np.uint8)
         im2 = np.asarray(sample["im2_ori"], np.uint8)
-        gap = np.zeros((h, mid_pad, 3), np.uint8)
-        comb = np.concatenate([im1, gap, im2], axis=1)  # RGB
+        hmax = max(im1.shape[0], im2.shape[0])
+
+        def vpad(a, H_t):  # bottom-pad to the canvas height
+            return np.pad(a, ((0, H_t - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+        gap = np.zeros((hmax, mid_pad, 3), np.uint8)
+        comb = np.concatenate([vpad(im1, hmax), gap, vpad(im2, hmax)], axis=1)
 
         def save(folder, img_rgb):
             cv2.imwrite(
@@ -603,14 +612,17 @@ class Trainer:
         # 1: score maps side by side (colormapped)
         sc1 = np.asarray(outs["im1"]["local_point"], np.float32)[0, :, :, 0]
         sc2 = np.asarray(outs["im2"]["local_point"], np.float32)[0, :, :, 0]
-        sgap = np.zeros((sc1.shape[0], mid_pad), np.float32)
-        comb_score = np.concatenate([sc1, sgap, sc2], axis=1)
+        shmax = max(sc1.shape[0], sc2.shape[0])
+        sgap = np.zeros((shmax, mid_pad), np.float32)
+        comb_score = np.concatenate(
+            [vpad(sc1, shmax), sgap, vpad(sc2, shmax)], axis=1
+        )
         score_rgb = (
             255 * tensor2array(comb_score).transpose(1, 2, 0)
         ).astype(np.uint8)
         save("1_score_maps", score_rgb)
 
-        x_off = w + mid_pad
+        x_off = im1.shape[1] + mid_pad
         green = (0, 255, 0)
 
         # 2: all keypoints
