@@ -462,7 +462,9 @@ class Extractor:
         # this many decoded images are pending, flush the fullest bucket
         # as a padded partial batch — bounded pad-waste beats unbounded
         # accumulation of decoded uint8 frames
-        pending_cap = max(4 * bs, 32)
+        pending_cap = int(
+            os.environ.get("POSFEAT_EXTRACT_PENDING_CAP", max(4 * bs, 32))
+        )
         try:
             t_prev = time.perf_counter()
             for idx, inputs in self._prefetch():

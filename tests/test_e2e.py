@@ -358,3 +358,82 @@ def test_batched_extraction_matches_single(tmp_path):
     # name_list is ordered and complete in both
     nl = open(os.path.join(root, "hp/batched/image/name_list.txt")).read()
     assert len(nl.strip().splitlines()) == 6
+
+
+@pytest.mark.slow
+def test_partial_bucket_flush_matches_single(tmp_path, monkeypatch):
+    """Shape-diverse dataset + a small pending cap: partial buckets are
+    flushed (padded) mid-stream to bound host memory, and the features
+    still match the batch-1 path exactly."""
+    import cv2
+
+    from posfeat_tpu.extract import Extractor
+
+    data_root = str(tmp_path / "hp")
+    rng = np.random.RandomState(9)
+    for si, (h, w) in enumerate([(96, 128), (80, 112), (112, 96)]):
+        seq = os.path.join(data_root, f"v_shape{si}")
+        os.makedirs(seq)
+        base = _texture(rng, h, w)
+        cv2.imwrite(os.path.join(seq, "1.ppm"),
+                    cv2.cvtColor(base, cv2.COLOR_RGB2BGR))
+        for ii in range(2, 5):
+            H = np.eye(3)
+            H[0, 2] = rng.uniform(-4, 4)
+            cv2.imwrite(
+                os.path.join(seq, f"{ii}.ppm"),
+                cv2.cvtColor(
+                    cv2.warpPerspective(base, H, (w, h),
+                                        borderMode=cv2.BORDER_REFLECT),
+                    cv2.COLOR_RGB2BGR,
+                ),
+            )
+            np.savetxt(os.path.join(seq, f"H_1_{ii}"), H)
+
+    base_cfg = {
+        "postfix": "p",
+        "load_path": None,
+        "loss_distance": "cos",
+        "output_desc": True,
+        "output_img": False,
+        "model": "PoSFeat",
+        "model_config": MODEL_CONFIG,
+        "data": "HPatch_SIFT",
+        "local_thr": 0.99,
+        "use_sift": False,
+        "detector": "generate_kpts_single",
+        "detector_config": {
+            "num_pts": 128, "stable": True, "use_nms": True,
+            "nms_radius": 1, "thr": False,
+        },
+    }
+    import copy
+
+    cfg1 = copy.deepcopy(base_cfg)
+    cfg1["output_root"] = "hp/psingle"
+    cfg1["data_config_extract"] = {
+        "data_path": data_root, "batch_size": 1, "workers": 2,
+    }
+    cfg8 = copy.deepcopy(base_cfg)
+    cfg8["output_root"] = "hp/pflush"
+    cfg8["data_config_extract"] = {
+        "data_path": data_root, "batch_size": 8, "workers": 2,
+    }
+    root = str(tmp_path / "ckpts")
+    Extractor(cfg1, ckpt_root=root).extract()
+    # no bucket ever reaches batch_size 8 (4 images per shape); the cap
+    # forces mid-stream partial flushes instead of end-of-dataset
+    monkeypatch.setenv("POSFEAT_EXTRACT_PENDING_CAP", "5")
+    n, _ = Extractor(cfg8, ckpt_root=root).extract()
+    assert n == 12
+
+    import glob
+
+    singles = sorted(glob.glob(os.path.join(root, "hp/psingle/desc/*/*.p")))
+    assert len(singles) == 12
+    for sp in singles:
+        bp = sp.replace("/psingle/", "/pflush/")
+        fs, fb = np.load(sp), np.load(bp)
+        assert fs["keypoints"].shape == fb["keypoints"].shape
+        np.testing.assert_allclose(fs["keypoints"], fb["keypoints"], atol=1e-4)
+        np.testing.assert_allclose(fs["descriptors"], fb["descriptors"], atol=1e-4)
