@@ -100,7 +100,12 @@ def trained_probe(ckpt, work=None, num_pts=512):
     data_root = os.path.join(work, "hpatches")
     if not os.path.isdir(data_root):
         os.makedirs(data_root)
-        make_eval_fixture(data_root)
+        # POSFEAT_PROBE_SEQS widens the fixture (default 4 sequences x 6
+        # images = 24): delta-MMA noise shrinks ~1/sqrt(n), and gate
+        # flip decisions ride on ±0.003 at the default size
+        make_eval_fixture(
+            data_root, n_seq=int(os.environ.get("POSFEAT_PROBE_SEQS", "4"))
+        )
 
     # Fast-path gates are read from the environment at trace time by
     # code BOTH arms share (detect.py top-k, grid_sample impl), so a
@@ -156,7 +161,13 @@ def trained_probe(ckpt, work=None, num_pts=512):
         errors = hp.benchmark_features(
             hp.generate_read_function(desc_dir, "c"), data_root
         )
-        mma3, _, _ = hp.mma_at(errors, 3, n_i=2, n_v=2)
+        # sequence-kind counts come from the fixture (make_eval_fixture
+        # alternates i_/v_); hardcoding them breaks MMA normalization
+        # for any non-default POSFEAT_PROBE_SEQS
+        seqs = os.listdir(data_root)
+        n_i = sum(1 for s in seqs if s.startswith("i_"))
+        n_v = sum(1 for s in seqs if s.startswith("v_"))
+        mma3, _, _ = hp.mma_at(errors, 3, n_i=n_i, n_v=n_v)
         return desc_dir, float(mma3)
 
     d32, mma32 = run("f32", "float32", False)

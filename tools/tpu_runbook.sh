@@ -19,6 +19,7 @@ fi
 # probe fixtures must match the nuisance regime the checkpoints were
 # trained with (the calibrated medium recipe)
 export CONV_ROT=20 CONV_SCALE=0.18 CONV_PHOTO=1.15
+export POSFEAT_PROBE_SEQS=12  # 72-image fixture: ~1.7x tighter delta-MMA
 
 # 0. Connectivity + device record
 timeout 600 python -c "import jax; print(jax.devices())" > /tmp/runbook/00_devices.log 2>&1
