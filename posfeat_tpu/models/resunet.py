@@ -362,21 +362,40 @@ class ResUNetHR(nn.Module):
             x3, train
         )
 
-        y = UpConv(512, 3, 2, self.dtype, name="upconv3")(x3, train)
+        import os
+
+        acc = (
+            os.environ.get("POSFEAT_DECODER_ACCUM") == "f32"
+            and self.dtype == jnp.bfloat16
+        )
+        y = UpConv(512, 3, 2, self.dtype, accum_f32=acc, name="upconv3")(
+            x3, train
+        )
         y = _skipconnect(y, x2)
-        y = ConvBNElu(512, 3, 1, self.dtype, name="iconv3")(y, train)
-
-        y = UpConv(256, 3, 2, self.dtype, name="upconv2")(y, train)
-        y = _skipconnect(y, x1)
-        y = ConvBNElu(256, 3, 1, self.dtype, name="iconv2")(y, train)
-
-        y = UpConv(192, 3, 2, self.dtype, name="upconv1")(y, train)
-        y = _skipconnect(y, x_first1)
-        y = ConvBNElu(256, 3, 1, self.dtype, name="iconv1")(y, train)
-
-        x_fine = ConvBNElu(self.fine_out_ch, 1, 1, self.dtype, name="conv_fine")(
+        y = ConvBNElu(512, 3, 1, self.dtype, accum_f32=acc, name="iconv3")(
             y, train
         )
+
+        y = UpConv(256, 3, 2, self.dtype, accum_f32=acc, name="upconv2")(
+            y, train
+        )
+        y = _skipconnect(y, x1)
+        y = ConvBNElu(256, 3, 1, self.dtype, accum_f32=acc, name="iconv2")(
+            y, train
+        )
+
+        y = UpConv(192, 3, 2, self.dtype, accum_f32=acc, name="upconv1")(
+            y, train
+        )
+        y = _skipconnect(y, x_first1)
+        y = ConvBNElu(256, 3, 1, self.dtype, accum_f32=acc, name="iconv1")(
+            y, train
+        )
+
+        x_fine = ConvBNElu(
+            self.fine_out_ch, 1, 1, self.dtype, accum_f32=acc,
+            name="conv_fine",
+        )(y, train)
         return {
             "global_map": x_coarse,
             "local_map": x_fine,
