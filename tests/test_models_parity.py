@@ -229,3 +229,20 @@ def test_decoder_accum_f32_checkpoint_compatible(rng, monkeypatch):
     scale = float(np.abs(np.asarray(out0["local_map"], np.float32)).mean())
     assert np.isfinite(d).all()
     assert d.max() <= 0.12 * max(scale, 1e-3), (d.max(), scale)
+
+
+def test_resunet_hr_shape_contract(rng):
+    """ResUNetHR (DescNet.py:86-165): one more decoder level — local_map
+    at H/2 (vs H/4), local_map_small = the un-pooled stem at H/2."""
+    from posfeat_tpu.models import ResUNetHR
+
+    model = ResUNetHR(encoder="resnet18", pretrained=False,
+                      coarse_out_ch=64, fine_out_ch=64)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x)
+    assert out["local_map"].shape == (1, 32, 48, 64)
+    assert out["local_map_small"].shape == (1, 32, 48, 64)
+    assert out["global_map"].shape == (1, 4, 6, 64)
+    for k, a in out.items():
+        assert np.isfinite(np.asarray(a, np.float32)).all(), k
