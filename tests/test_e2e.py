@@ -437,3 +437,25 @@ def test_partial_bucket_flush_matches_single(tmp_path, monkeypatch):
         assert fs["keypoints"].shape == fb["keypoints"].shape
         np.testing.assert_allclose(fs["keypoints"], fb["keypoints"], atol=1e-4)
         np.testing.assert_allclose(fs["descriptors"], fb["descriptors"], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_bf16_training_smoke(tmp_path):
+    """compute_dtype bfloat16 (the configs' documented max-throughput
+    option) must train: finite losses, checkpoints written."""
+    from posfeat_tpu.train import Trainer
+
+    cfg = _train_config(tmp_path, "desc")
+    cfg["compute_dtype"] = "bfloat16"
+    cfg["checkpoint_name"] = "smoke_bf16"
+    Trainer(cfg, ckpt_root=str(tmp_path / "ckpts")).train()
+    ck = tmp_path / "ckpts" / "smoke_bf16" / "001"
+    assert (ck / "backbone.msgpack").exists()
+    assert (ck / "opt_state.msgpack").exists()
+    import json
+
+    metrics = [
+        json.loads(x)
+        for x in open(tmp_path / "ckpts" / "smoke_bf16" / "metrics.jsonl")
+    ]
+    assert metrics and all(np.isfinite(m["total_loss"]) for m in metrics)
