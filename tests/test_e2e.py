@@ -449,6 +449,11 @@ def test_bf16_training_smoke(tmp_path):
     cfg["compute_dtype"] = "bfloat16"
     cfg["checkpoint_name"] = "smoke_bf16"
     Trainer(cfg, ckpt_root=str(tmp_path / "ckpts")).train()
+    # stage 2 too: REINFORCE/gumbel under bf16 is the NaN-prone path
+    cfg2 = _train_config(tmp_path, "kp")
+    cfg2["compute_dtype"] = "bfloat16"
+    cfg2["checkpoint_name"] = "smoke_bf16_kp"
+    Trainer(cfg2, ckpt_root=str(tmp_path / "ckpts")).train()
     ck = tmp_path / "ckpts" / "smoke_bf16" / "001"
     assert (ck / "backbone.msgpack").exists()
     assert (ck / "opt_state.msgpack").exists()
