@@ -10,29 +10,82 @@ N_SCAN extraction steps inside ONE jitted lax.scan and fetching a scalar
 that depends on every step — a single host round-trip (~20 ms) amortized
 over N_SCAN×batch images.
 
+Robustness: the axon relay can be transiently (or durably) unavailable,
+and a dead relay HANGS backend init rather than erroring. Before
+importing jax in this process, a subprocess probe (bounded timeout)
+checks the backend, retrying with exponential backoff up to
+POSFEAT_BENCH_RETRY_SECS (default 1800 s; 0 disables retries). If the
+backend never comes up, ONE parseable JSON line is still printed (value
+0.0 + an "error" field) so a flaky minute at capture time degrades the
+artifact instead of zeroing it with a stack trace.
+
 Baseline: the reference PyTorch pipeline on an RTX 3090 (BASELINE.md).
 The repo publishes no throughput number; 25 images/s is our estimate for
 batch-1 ResNet-50-UNet + full-res head inference at 640×480 on a 3090,
 used as the comparison denominator (vs_baseline = ours / 25).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+diagnostics: per-config results, the active fast-path gate set, backend}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from posfeat_tpu.core.cache import enable_compilation_cache
-
-enable_compilation_cache()
-
-
 BASELINE_IMAGES_PER_SEC = 25.0
 H, W = 480, 640
+
+
+def probe_backend(total_budget_s: float, probe_timeout_s: float = 240.0):
+    """Check backend health in a SUBPROCESS (a dead axon relay hangs
+    jax device init — a timeout is the only safe failure detector).
+    Retries with exponential backoff until the budget runs out.
+
+    Returns (backend_name | None, seconds_spent, last_error_string).
+    """
+    deadline = time.monotonic() + total_budget_s
+    delay = 30.0
+    last_err = ""
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    # mirror posfeat_tpu/__init__.py's platform override
+                    # (the site hook sets jax_platforms programmatically,
+                    # so plain env JAX_PLATFORMS is ignored)
+                    "import os, jax;\n"
+                    "p = os.environ.get('POSFEAT_PLATFORM')\n"
+                    "if p: jax.config.update('jax_platforms', p)\n"
+                    "import jax.numpy as jnp\n"
+                    "x = jnp.ones((8, 8)) @ jnp.ones((8, 8))\n"
+                    "x.block_until_ready()\n"
+                    "print(jax.default_backend())",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout_s,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                return out.stdout.strip().splitlines()[-1], time.monotonic() - t0, ""
+            last_err = (out.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+            last_err = last_err[0][:300]
+        except subprocess.TimeoutExpired:
+            last_err = f"backend probe hung >{probe_timeout_s:.0f}s"
+        print(
+            f"# backend probe attempt {attempt} failed: {last_err}",
+            file=sys.stderr,
+        )
+        if time.monotonic() + delay > deadline:
+            return None, 0.0, last_err
+        time.sleep(delay)
+        delay = min(delay * 2, 300.0)
 
 
 def build_extract(model, num_pts=8192):
@@ -59,7 +112,10 @@ def build_extract(model, num_pts=8192):
 
 def bench_extraction(batch_size: int, dtype, n_scan: int = 8):
     import copy
-    import os
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import FLAGSHIP_MODEL_CONFIG
     from posfeat_tpu.models import PoSFeat
@@ -111,8 +167,43 @@ def bench_extraction(batch_size: int, dtype, n_scan: int = 8):
     return n_scan * batch_size / dt
 
 
+def active_gates():
+    """Snapshot of the fast-path/numerics knobs in force — recorded in
+    the bench JSON so every number is attributable to a configuration."""
+    from posfeat_tpu.core.knobs import trace_knob_key
+
+    return dict(trace_knob_key())
+
+
+def emit(value, results, backend, error=""):
+    rec = {
+        "metric": "images_per_sec_per_chip_640px_extraction",
+        "value": round(value, 3),
+        "unit": "im/s",
+        "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 3),
+        "backend": backend,
+        "configs": {k: round(v, 2) for k, v in results.items()},
+        "gates": active_gates(),
+    }
+    if error:
+        rec["error"] = error
+    print(json.dumps(rec))
+
+
 def main():
-    import os
+    budget = float(os.environ.get("POSFEAT_BENCH_RETRY_SECS", "1800"))
+    if budget > 0:
+        backend, _, err = probe_backend(budget)
+        if backend is None:
+            emit(0.0, {}, "unavailable", error=f"backend never came up: {err}")
+            return
+    # backend healthy (or retries disabled) — import jax in-process now
+    import jax
+    import jax.numpy as jnp
+
+    from posfeat_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     backend = jax.default_backend()
     results = {}
@@ -144,27 +235,33 @@ def main():
                 file=sys.stderr,
             )
             sys.exit(2)
+    last_err = ""
     for bs, dt in configs:
-        try:
-            ips = bench_extraction(bs, dt, n_scan=2 if backend == "cpu" else 16)
-            results[f"bs{bs}_{dt.__name__}"] = ips
-            print(
-                f"# extraction bs={bs} dtype={dt.__name__}: {ips:.2f} im/s",
-                file=sys.stderr,
-            )
-        except Exception as e:  # noqa: BLE001
-            print(f"# bench bs={bs} {dt.__name__} failed: {e}", file=sys.stderr)
+        # transient relay faults (broken pipe on large compiles) get one
+        # bounded retry per config before moving on
+        for attempt in (1, 2):
+            try:
+                ips = bench_extraction(
+                    bs, dt, n_scan=2 if backend == "cpu" else 16
+                )
+                results[f"bs{bs}_{dt.__name__}"] = ips
+                print(
+                    f"# extraction bs={bs} dtype={dt.__name__}: "
+                    f"{ips:.2f} im/s",
+                    file=sys.stderr,
+                )
+                break
+            except Exception as e:  # noqa: BLE001
+                last_err = f"bs{bs} {dt.__name__}: {e}"
+                print(
+                    f"# bench bs={bs} {dt.__name__} attempt {attempt} "
+                    f"failed: {e}",
+                    file=sys.stderr,
+                )
+                if attempt == 1:
+                    time.sleep(30)
     best = max(results.values()) if results else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_per_chip_640px_extraction",
-                "value": round(best, 3),
-                "unit": "im/s",
-                "vs_baseline": round(best / BASELINE_IMAGES_PER_SEC, 3),
-            }
-        )
-    )
+    emit(best, results, backend, error="" if results else last_err[:300])
 
 
 if __name__ == "__main__":

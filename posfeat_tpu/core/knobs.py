@@ -1,0 +1,43 @@
+"""Trace-time environment knobs.
+
+Several fast-path/numerics toggles (top-k impl, refinement mode,
+sampling impl/precision, fused-head variants, descriptor dtype) are
+read from the environment at Python TRACE time inside functions that
+are later cached by ``jax.jit`` and by ``Extractor._jit_cache``.
+Changing such a knob after a program has been traced would silently
+keep the old behavior for already-compiled shapes.
+
+``trace_knob_key()`` snapshots every knob that can alter a traced
+program; cache keys that include it retrace automatically when a knob
+changes mid-process.
+"""
+
+import os
+from typing import Tuple
+
+# every env var whose value is baked into a traced program somewhere in
+# posfeat_tpu (ops/detect.py, ops/grid_sample.py, ops/pallas/fused_head.py,
+# models/resunet.py). Keep in sync when adding knobs.
+TRACE_KNOBS = (
+    "POSFEAT_TOPK",
+    "POSFEAT_TOPK_RECALL",
+    "POSFEAT_REFINE",
+    "POSFEAT_SAMPLE_IMPL",
+    "POSFEAT_SAMPLE_F32",
+    "POSFEAT_DESC_F32",
+    "POSFEAT_DECODER_ACCUM",
+    "POSFEAT_HEAD_MODE",
+    "POSFEAT_HEAD_IM2COL",
+    "POSFEAT_HEAD_RING",
+    "POSFEAT_HEAD_T1",
+    "POSFEAT_HEAD_T2",
+    "POSFEAT_HEAD_ZT",
+    "POSFEAT_HEAD_TRIPLE",
+)
+
+
+def trace_knob_key() -> Tuple[Tuple[str, str], ...]:
+    """Hashable snapshot of all trace-time knobs (unset ones excluded)."""
+    return tuple(
+        (k, os.environ[k]) for k in TRACE_KNOBS if k in os.environ
+    )

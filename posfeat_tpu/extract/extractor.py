@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import dump_config, load_config, merge_from_checkpoint
+from ..core.knobs import trace_knob_key
 from ..core.logging_utils import make_logger
 from ..data import DATASETS
 from ..models import MODELS
@@ -143,7 +144,11 @@ class Extractor:
         """Jitted: uint8 image batch -> (coords px, scores, descriptors,
         valid_count). ImageNet normalization runs on device so the host
         ships raw uint8 (1/4 the bytes of normalized f32)."""
-        key = ("learned", shape, det_cfg_key)
+        # trace_knob_key: env toggles (top-k impl, sampling precision,
+        # fused-head variants, ...) are baked in at trace time; keying on
+        # them retraces when a knob changes mid-process instead of
+        # silently reusing the stale program (ADVICE r2)
+        key = ("learned", shape, det_cfg_key, trace_knob_key())
         if key not in self._jit_cache:
             from ..data.utils import IMAGENET_MEAN, IMAGENET_STD
 
@@ -177,7 +182,7 @@ class Extractor:
 
     def _sift_fn(self, shape, n_pad: int):
         """Jitted: sample descriptors at provided (padded) SIFT keypoints."""
-        key = ("sift", shape, n_pad)
+        key = ("sift", shape, n_pad, trace_knob_key())
         if key not in self._jit_cache:
             H, W = shape
             cos = self.config["loss_distance"] == "cos"
@@ -398,6 +403,9 @@ class Extractor:
                 timing[k] += dt
 
         want_timing = os.environ.get("POSFEAT_EXTRACT_TIMING") == "1"
+        # max pending (unwritten) per-image results before the fetch
+        # thread blocks on the write pool (see backpressure note below)
+        write_cap = int(os.environ.get("POSFEAT_EXTRACT_WRITE_CAP", 4 * bs))
 
         def write_one(inputs, processed, n_emit):
             t0 = time.perf_counter()
@@ -436,6 +444,14 @@ class Extractor:
                 write_futs.append(
                     write_pool.submit(write_one, inputs, processed, n_emit)
                 )
+            # backpressure: each pending write future pins one image's
+            # decoded frame + f32 slates (~10s of MB at 8192 pts); a fast
+            # device with a slow disk/NFS would otherwise accumulate them
+            # without bound. Runs on the single fetch thread, so draining
+            # here stalls fetches (and hence dispatches) until the write
+            # pool catches up — exactly the throttle we want.
+            while len(write_futs) > write_cap:
+                write_futs.popleft().result()
 
         def dispatch(key):
             items = buckets.pop(key)

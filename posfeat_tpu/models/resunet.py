@@ -392,10 +392,18 @@ class ResUNetHR(nn.Module):
             y, train
         )
 
+        # same POSFEAT_DESC_F32 contract as ResUNet: the final
+        # projection runs fully f32 when the knob is set
+        fine_dt = (
+            jnp.float32
+            if os.environ.get("POSFEAT_DESC_F32") == "1"
+            else self.dtype
+        )
         x_fine = ConvBNElu(
-            self.fine_out_ch, 1, 1, self.dtype, accum_f32=acc,
+            self.fine_out_ch, 1, 1, fine_dt,
+            accum_f32=acc and fine_dt != jnp.float32,
             name="conv_fine",
-        )(y, train)
+        )(y.astype(fine_dt), train)
         return {
             "global_map": x_coarse,
             "local_map": x_fine,

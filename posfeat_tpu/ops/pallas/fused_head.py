@@ -566,6 +566,14 @@ def fused_head_tail(
     zt = os.environ.get("POSFEAT_HEAD_ZT", "0") == "1" and not interpret
     mode = os.environ.get("POSFEAT_HEAD_MODE", "v3")
     assert mode in ("v1", "v2", "v3"), mode
+    if mode == "v2" and not interpret:
+        # v2's 64-lane halo DMA is rejected by Mosaic on real TPUs with
+        # an opaque compile error; it exists for interpret-mode study
+        # only. Fail loudly here instead.
+        raise ValueError(
+            "POSFEAT_HEAD_MODE=v2 is interpret-only (Mosaic rejects its "
+            "64-lane halo DMA on TPU); use v1 or v3 on hardware"
+        )
     tri = os.environ.get("POSFEAT_HEAD_TRIPLE", "0") == "1" and mode == "v3"
     # im2col: single-matmul trunk conv (9 shifted views lane-concatenated
     # with the TRUE 192-channel count). 2.22 vs 2.46 ms/img in the head

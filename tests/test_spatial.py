@@ -53,6 +53,59 @@ def test_spatial_extract_matches_single_device(rng):
         )
 
 
+def test_spatial_extract_tall_image(rng):
+    """The Aachen use case this module exists for (SURVEY §5): a tall
+    (≥1536 px) image through the full sharded pipeline — halo exchanges
+    across 12 row-blocks per device — must match the single-device
+    program's keypoints, scores AND descriptors."""
+    from posfeat_tpu.ops.detect import generate_kpts_single
+    from posfeat_tpu.ops.grid_sample import sample_feat_by_coord
+
+    model = PoSFeat(SMALL, dtype=jnp.float32)
+    cpus = _cpu8()
+    variables = jax.device_put(
+        model.init(jax.random.PRNGKey(0), im_shape=(1, 64, 64, 3)), cpus[0]
+    )
+    # 1536×256: realistic Aachen height (extract_aachen.yaml budgets
+    # 20480 pts at up to ~1600 px); W kept modest for CPU-mesh runtime
+    im = jax.device_put(
+        jnp.asarray(rng.rand(1, 1536, 256, 3).astype(np.float32)), cpus[0]
+    )
+
+    def post(outputs):
+        coord_n, score, valid = generate_kpts_single(
+            outputs["local_point"], num_pts=1024, nms_radius=1, use_nms=True
+        )
+        feat = sample_feat_by_coord(outputs["local_map"], coord_n, norm=True)
+        return coord_n, score, feat, valid
+
+    mesh = spatial_mesh(cpus)
+    fn = spatial_extract(model, mesh, postprocess=post)
+    coord_n, score, feat, valid = fn(variables, shard_image_spatial(im, mesh))
+
+    ref_out = model.extract(variables, im, train=False)
+    r_coord, r_score, r_valid = generate_kpts_single(
+        ref_out["local_point"], num_pts=1024, nms_radius=1, use_nms=True
+    )
+    r_feat = sample_feat_by_coord(ref_out["local_map"], r_coord, norm=True)
+
+    assert int(valid[0]) == int(r_valid[0])
+
+    # order-independent comparison keyed on coordinates (top-k tie order
+    # can differ under sharded reduction): sort both slates by (y, x)
+    # and compare scores AND sampled descriptors pointwise
+    def ordered(c, s, f):
+        c, s, f = np.asarray(c)[0], np.asarray(s)[0], np.asarray(f)[0]
+        idx = np.lexsort((c[:, 1], c[:, 0]))
+        return c[idx], s[idx], f[idx]
+
+    c1, s1, f1 = ordered(coord_n, score, feat)
+    c2, s2, f2 = ordered(r_coord, r_score, r_feat)
+    np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(f1, f2, rtol=1e-3, atol=1e-4)
+
+
 def test_spatial_extract_with_detector(rng):
     """Detector + descriptor sampling inside the sharded program."""
     from posfeat_tpu.ops.detect import generate_kpts_single
