@@ -69,13 +69,22 @@ def _convbnelu(out, flax_prefix, torch_prefix, sd):
 
 
 def import_resunet(sd: Dict[str, Any]) -> Dict[str, Any]:
-    """torch ResUNet state_dict -> flax variables {'params','batch_stats'}."""
+    """torch ResUNet/ResUNetHR state_dict -> flax variables
+    {'params','batch_stats'}.
+
+    The HR variant (detected by its extra decoder level, upconv1) is
+    laid out differently on the flax side: the stem and residual layers
+    live at the TOP level as ``stem_conv``/``stem_bn``/``layerN_i``
+    (ResUNetHR keeps the un-pooled stem for its H/2 skip, so it doesn't
+    reuse the ResNetEncoder submodule)."""
     sd = {k: v for k, v in sd.items()}
     out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
-    enc = ("encoder",)
+    hr = "upconv1.conv.conv.weight" in sd  # ResUNetHR
+    enc = () if hr else ("encoder",)
+    stem_conv, stem_bn = ("stem_conv", "stem_bn") if hr else ("firstconv", "firstbn")
 
-    _set(out, ("params",) + enc + ("firstconv", "kernel"), _conv_w(sd["firstconv.weight"]))
-    _bn_entries(out, enc + ("firstbn",), enc + ("firstbn",), "firstbn", sd)
+    _set(out, ("params",) + enc + (stem_conv, "kernel"), _conv_w(sd["firstconv.weight"]))
+    _bn_entries(out, enc + (stem_bn,), enc + (stem_bn,), "firstbn", sd)
 
     # encoder residual layers
     blocks = sorted(
@@ -106,7 +115,7 @@ def import_resunet(sd: Dict[str, Any]) -> Dict[str, Any]:
         _convbnelu(out, (name, "conv"), f"{name}.conv", sd)
     for name in ("iconv3", "iconv2"):
         _convbnelu(out, (name,), name, sd)
-    if "upconv1.conv.conv.weight" in sd:  # ResUNetHR
+    if hr:
         _convbnelu(out, ("upconv1", "conv"), "upconv1.conv", sd)
         _convbnelu(out, ("iconv1",), "iconv1", sd)
     return out

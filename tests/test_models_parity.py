@@ -246,3 +246,117 @@ def test_resunet_hr_shape_contract(rng):
     assert out["global_map"].shape == (1, 4, 6, 64)
     for k, a in out.items():
         assert np.isfinite(np.asarray(a, np.float32)).all(), k
+
+
+# ------------------------------------------------- ResUNetHR parity
+
+
+class TBasicBlock(tnn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        idt = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return F.relu(out + idt)
+
+
+def _make_layer_basic(inplanes, planes, blocks, stride):
+    downsample = None
+    if stride != 1 or inplanes != planes:
+        downsample = tnn.Sequential(
+            tnn.Conv2d(inplanes, planes, 1, stride, bias=False),
+            tnn.BatchNorm2d(planes),
+        )
+    layers = [TBasicBlock(inplanes, planes, stride, downsample)]
+    for _ in range(1, blocks):
+        layers.append(TBasicBlock(planes, planes))
+    return tnn.Sequential(*layers)
+
+
+class TResUNetHR(tnn.Module):
+    """torch golden with reference ResUNetHR structure (DescNet.py:86-165),
+    resnet18 encoder (filters [64,128,256])."""
+
+    def __init__(self, out_ch=64):
+        super().__init__()
+        self.firstconv = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.firstbn = tnn.BatchNorm2d(64)
+        self.firstmaxpool = tnn.MaxPool2d(3, 2, 1)
+        self.layer1 = _make_layer_basic(64, 64, 2, 1)
+        self.layer2 = _make_layer_basic(64, 128, 2, 2)
+        self.layer3 = _make_layer_basic(128, 256, 2, 2)
+        self.conv_coarse = TConv(256, out_ch, 1, 1)
+        self.upconv3 = TUpconv(256, 512, 3, 2)
+        self.iconv3 = TConv(128 + 512, 512, 3, 1)
+        self.upconv2 = TUpconv(512, 256, 3, 2)
+        self.iconv2 = TConv(64 + 256, 256, 3, 1)
+        self.upconv1 = TUpconv(256, 192, 3, 2)
+        self.iconv1 = TConv(64 + 192, 256, 3, 1)
+        self.conv_fine = TConv(256, out_ch, 1, 1)
+
+    def forward(self, x):
+        x_first1 = F.relu(self.firstbn(self.firstconv(x)))
+        x_first = self.firstmaxpool(x_first1)
+        x1 = self.layer1(x_first)
+        x2 = self.layer2(x1)
+        x3 = self.layer3(x2)
+        x_coarse = self.conv_coarse(x3)
+        y = self.upconv3(x3)
+        y = torch.cat([x2, y], dim=1)
+        y = self.iconv3(y)
+        y = self.upconv2(y)
+        y = torch.cat([x1, y], dim=1)
+        y = self.iconv2(y)
+        y = self.upconv1(y)
+        y = torch.cat([x_first1, y], dim=1)
+        y = self.iconv1(y)
+        x_fine = self.conv_fine(y)
+        return {
+            "global_map": x_coarse,
+            "local_map": x_fine,
+            "local_map_small": x_first1,
+        }
+
+
+@pytest.mark.slow
+def test_resunet_hr_parity(rng):
+    """Numeric parity of ResUNetHR + the HR branch of import_resunet
+    (top-level stem_conv/stem_bn/layerN_i naming) vs a torch golden."""
+    from posfeat_tpu.models import ResUNetHR
+
+    torch.manual_seed(2)
+    tmodel = TResUNetHR().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x_t = torch.from_numpy(rng.rand(1, 3, 64, 80).astype(np.float32))
+    with torch.no_grad():
+        ref = tmodel(x_t)
+
+    variables = jax.tree.map(jnp.asarray, import_resunet(tmodel.state_dict()))
+    model = ResUNetHR(encoder="resnet18", pretrained=False,
+                      coarse_out_ch=64, fine_out_ch=64)
+    ours = model.apply(
+        variables, jnp.asarray(x_t.permute(0, 2, 3, 1).numpy()), train=False
+    )
+
+    for key_ in ("global_map", "local_map", "local_map_small"):
+        np.testing.assert_allclose(
+            np.asarray(ours[key_]),
+            ref[key_].permute(0, 2, 3, 1).numpy(),
+            rtol=1e-3,
+            atol=2e-4,
+            err_msg=key_,
+        )
