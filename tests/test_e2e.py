@@ -464,3 +464,106 @@ def test_bf16_training_smoke(tmp_path):
         for x in open(tmp_path / "ckpts" / "smoke_bf16" / "metrics.jsonl")
     ]
     assert metrics and all(np.isfinite(m["total_loss"]) for m in metrics)
+
+
+@pytest.mark.slow
+def test_h5_hloc_writer_layout(tmp_path):
+    """The save_h5 outputs must reproduce the reference's two h5
+    contracts exactly (reference managers/extractor.py:273-314):
+
+    - per-sequence keypoints.h5 / descriptors.h5 / scores.h5 / scales.h5,
+      dataset key = image basename without extension;
+    - a root feat.h5 (hloc input) with one group per full image name
+      holding keypoints / scores / descriptors / image_size, where
+      image_size is [w, h] (width FIRST) and scales are all-ones.
+
+    The expected tree below is written out independently from the npz
+    slates following those reference lines, then compared file-by-file."""
+    import h5py
+
+    from posfeat_tpu.extract import Extractor
+
+    data_root = str(tmp_path / "hp")
+    os.makedirs(data_root)
+    make_mini_hpatches(data_root, n_seq=1, n_img=2)
+
+    config = {
+        "output_root": "hpatches/h5smoke",
+        "postfix": "h5s",
+        "load_path": None,
+        "loss_distance": "cos",
+        "output_desc": True,
+        "output_img": False,
+        "save_h5": True,
+        "model": "PoSFeat",
+        "model_config": MODEL_CONFIG,
+        "data": "HPatch_SIFT",
+        "data_config_extract": {"data_path": data_root, "batch_size": 1, "workers": 2},
+        "local_thr": 0.99,
+        "use_sift": False,
+        "detector": "generate_kpts_single",
+        "detector_config": {
+            "num_pts": 256,
+            "stable": True,
+            "use_nms": True,
+            "nms_radius": 1,
+            "thr": 0.9,
+            "thr_mod": "abs",
+        },
+    }
+    ex = Extractor(config, ckpt_root=str(tmp_path / "ckpts"))
+    n_images, _ = ex.extract()
+    assert n_images == 2
+
+    desc_root = str(tmp_path / "ckpts/hpatches/h5smoke/desc")
+    h5_root = desc_root + "h5"
+    seq = "i_fake0"
+
+    # ------- golden: reference layout re-derived from the npz slates
+    golden = str(tmp_path / "golden")
+    os.makedirs(os.path.join(golden, seq))
+    for img in ("1.ppm", "2.ppm"):
+        name = f"{seq}/{img}"
+        z = np.load(os.path.join(desc_root, name + ".h5s"))
+        kpt, desc, scores = z["keypoints"], z["descriptors"], z["scores"]
+        h5_base = img.split(".")[0]
+        # reference extractor.py:284-293
+        with h5py.File(os.path.join(golden, seq, "keypoints.h5"), "a") as f:
+            f[h5_base] = kpt
+        with h5py.File(os.path.join(golden, seq, "descriptors.h5"), "a") as f:
+            f[h5_base] = desc
+        with h5py.File(os.path.join(golden, seq, "scores.h5"), "a") as f:
+            f[h5_base] = scores
+        with h5py.File(os.path.join(golden, seq, "scales.h5"), "a") as f:
+            f[h5_base] = np.ones_like(scores)
+        # reference extractor.py:301-307 (hloc input; image_size = [w,h])
+        with h5py.File(os.path.join(golden, "feat.h5"), "a") as f:
+            grp = f.create_group(name)
+            grp.create_dataset("keypoints", data=kpt)
+            grp.create_dataset("scores", data=scores)
+            grp.create_dataset("descriptors", data=desc)
+            grp.create_dataset("image_size", data=np.array([128, 96]))
+
+    # ------- compare tree-by-tree
+    def h5_tree(path):
+        out = {}
+        with h5py.File(path, "r") as f:
+            def visit(name, obj):
+                if isinstance(obj, h5py.Dataset):
+                    out[name] = np.asarray(obj)
+            f.visititems(visit)
+        return out
+
+    for fname in ("keypoints.h5", "descriptors.h5", "scores.h5", "scales.h5"):
+        got = h5_tree(os.path.join(h5_root, seq, fname))
+        want = h5_tree(os.path.join(golden, seq, fname))
+        assert sorted(got) == sorted(want), (fname, sorted(got), sorted(want))
+        for k in want:
+            assert got[k].dtype == want[k].dtype, (fname, k)
+            np.testing.assert_array_equal(got[k], want[k], err_msg=f"{fname}/{k}")
+
+    got = h5_tree(os.path.join(h5_root, "feat.h5"))
+    want = h5_tree(os.path.join(golden, "feat.h5"))
+    assert sorted(got) == sorted(want), (sorted(got), sorted(want))
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
