@@ -287,17 +287,37 @@ class ResUNet(nn.Module):
             y, train
         )
 
-        y = UpConv(256, 3, 2, self.dtype, accum_f32=acc, name="upconv2")(
-            y, train
+        # POSFEAT_DESC_TAIL_F32: run the descriptor-FORMING tail with f32
+        # OPERANDS (not just f32 accumulation — the round-2 ΔMMA
+        # decomposition showed the residual bf16 error is operand
+        # rounding where descriptors form, ARCHITECTURE.md "Numerics").
+        #   'up2'    — upconv2 + iconv2 + conv_fine in f32
+        #   'iconv2' — iconv2 + conv_fine in f32
+        # These run at H/4 (a small fraction of trunk FLOPs); judged by
+        # the trained-probe ΔMMA like the other gates.
+        tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
+        bf16 = self.dtype == jnp.bfloat16
+        up2_dt = jnp.float32 if (bf16 and tail == "up2") else self.dtype
+        ic2_dt = (
+            jnp.float32
+            if (bf16 and tail in ("iconv2", "up2"))
+            else self.dtype
         )
-        y = _skipconnect(y, x1)
-        y = ConvBNElu(256, 3, 1, self.dtype, accum_f32=acc, name="iconv2")(
-            y, train
-        )
+        y = UpConv(
+            256, 3, 2, up2_dt,
+            accum_f32=acc and up2_dt != jnp.float32,
+            name="upconv2",
+        )(y.astype(up2_dt), train)
+        y = _skipconnect(y.astype(ic2_dt), x1.astype(ic2_dt))
+        y = ConvBNElu(
+            256, 3, 1, ic2_dt,
+            accum_f32=acc and ic2_dt != jnp.float32,
+            name="iconv2",
+        )(y.astype(ic2_dt), train)
 
         fine_dt = (
             jnp.float32
-            if os.environ.get("POSFEAT_DESC_F32") == "1"
+            if (os.environ.get("POSFEAT_DESC_F32") == "1" or (bf16 and tail))
             else self.dtype
         )
         x_fine = ConvBNElu(

@@ -360,3 +360,34 @@ def test_resunet_hr_parity(rng):
             atol=2e-4,
             err_msg=key_,
         )
+
+
+def test_desc_tail_f32_checkpoint_compatible(rng, monkeypatch):
+    """POSFEAT_DESC_TAIL_F32 runs the descriptor-forming tail (upconv2/
+    iconv2/conv_fine) with f32 OPERANDS under a bf16 trunk. The param
+    tree must be identical to the default path (checkpoints
+    interchange) and outputs must agree to bf16 rounding."""
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    model = ResUNet(encoder="resnet18", pretrained=False,
+                    coarse_out_ch=64, fine_out_ch=64, dtype=jnp.bfloat16)
+    v0 = model.init(jax.random.PRNGKey(0), x)
+    out0 = model.apply(v0, x)
+
+    for tail in ("iconv2", "up2"):
+        monkeypatch.setenv("POSFEAT_DESC_TAIL_F32", tail)
+        m2 = ResUNet(encoder="resnet18", pretrained=False,
+                     coarse_out_ch=64, fine_out_ch=64, dtype=jnp.bfloat16)
+        v1 = m2.init(jax.random.PRNGKey(0), x)
+        t0 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v0)
+        t1 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v1)
+        assert t0 == t1, tail
+        out1 = m2.apply(v0, x)
+        assert out1["local_map"].dtype == jnp.float32, tail
+        d = np.abs(
+            np.asarray(out1["local_map"], np.float32)
+            - np.asarray(out0["local_map"], np.float32)
+        )
+        scale = float(np.abs(np.asarray(out0["local_map"], np.float32)).mean())
+        assert np.isfinite(d).all(), tail
+        assert d.max() <= 0.12 * max(scale, 1e-3), (tail, d.max(), scale)
+    monkeypatch.delenv("POSFEAT_DESC_TAIL_F32")

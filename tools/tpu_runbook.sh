@@ -45,6 +45,12 @@ POSFEAT_TOPK=approx timeout 3000 python tools/selection_stability.py --ckpt $CKP
   > /tmp/runbook/05_probe_approx.log 2>&1
 POSFEAT_HEAD_RING=0 timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
   > /tmp/runbook/06_probe_noring.log 2>&1
+# descriptor-tail f32 OPERANDS (round-3 candidate bf16 ΔMMA fix:
+# residual error is operand rounding where descriptors form)
+POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/07_probe_tail_iconv2.log 2>&1
+POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/08_probe_tail_up2.log 2>&1
 
 # 4. Bench A/Bs at bs16 only (one compile each)
 export POSFEAT_BENCH_CONFIGS=16:bf16
@@ -54,6 +60,8 @@ POSFEAT_TOPK=approx timeout 3000 python bench.py > /tmp/runbook/13_bench_approx.
 POSFEAT_HEAD_RING=0 timeout 3000 python bench.py > /tmp/runbook/13b_bench_noring.log 2>&1
 POSFEAT_REFINE=pool timeout 3000 python bench.py > /tmp/runbook/13c_bench_refinepool.log 2>&1
 POSFEAT_SAMPLE_F32=0 timeout 3000 python bench.py > /tmp/runbook/13d_bench_samplebf16.log 2>&1
+POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python bench.py > /tmp/runbook/13e_bench_tail_iconv2.log 2>&1
+POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python bench.py > /tmp/runbook/13f_bench_tail_up2.log 2>&1
 POSFEAT_BENCH_CONFIGS=16:f32 timeout 3000 python bench.py > /tmp/runbook/16_bench_f32_bs16.log 2>&1
 
 # 5. bs32 with the winning combo (judged later; compile is the cost)
@@ -94,6 +102,8 @@ if [ -d "$CKPT2" ]; then
   CONV_MODEL=head192 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 \
     timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
     > /tmp/runbook/43_probe192_all.log 2>&1
+  CONV_MODEL=head192 POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/44_probe192_tail_iconv2.log 2>&1
 fi
 
 echo DONE > /tmp/runbook/STATUS
