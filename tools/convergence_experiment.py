@@ -67,7 +67,7 @@ SCALE_RANGE = (
 PHOTO_STRENGTH = float(os.environ.get("CONV_PHOTO", 1.3))
 
 
-def make_eval_fixture(root, n_seq=4, n_img=6, seed=77):
+def make_eval_fixture(root, n_seq=4, n_img=6, seed=77, h=None, w=None):
     """HPatches-layout eval sequences drawn from the SAME nuisance
     distribution SyntheticPairs trains on (rotation, scale, translation,
     per-channel gain + gamma + noise) but with unseen textures — an
@@ -79,31 +79,35 @@ def make_eval_fixture(root, n_seq=4, n_img=6, seed=77):
 
     from posfeat_tpu.data.synthetic import _texture
 
+    # h/w default to the training resolution; the device ΔMMA probe
+    # overrides them to the HPatches operating point (480x640, 8192
+    # pts) where tail-of-ranking churn is otherwise unmeasured
+    fh, fw = h or H, w or W
     rng = np.random.RandomState(seed)
     for si in range(n_seq):
         kind = "i" if si % 2 == 0 else "v"
         seq = os.path.join(root, f"{kind}_syn{si}")
         os.makedirs(seq, exist_ok=True)
-        base = _texture(rng, H, W)
+        base = _texture(rng, fh, fw)
         cv2.imwrite(os.path.join(seq, "1.ppm"), cv2.cvtColor(base, cv2.COLOR_RGB2BGR))
         for ii in range(2, n_img + 1):
-            center = (W / 2, H / 2)
+            center = (fw / 2, fh / 2)
             angle = rng.uniform(-ROT_MAX, ROT_MAX)
             scale = rng.uniform(*SCALE_RANGE)
             M = cv2.getRotationMatrix2D(center, angle, scale)
             Hm = np.eye(3)
             Hm[:2, :] = M
-            Hm[0, 2] += rng.uniform(-0.05, 0.05) * W
-            Hm[1, 2] += rng.uniform(-0.05, 0.05) * H
+            Hm[0, 2] += rng.uniform(-0.05, 0.05) * fw
+            Hm[1, 2] += rng.uniform(-0.05, 0.05) * fh
             warped = cv2.warpPerspective(
-                base, Hm, (W, H), borderMode=cv2.BORDER_REFLECT
+                base, Hm, (fw, fh), borderMode=cv2.BORDER_REFLECT
             )
             s = PHOTO_STRENGTH
             wf = warped.astype(np.float32) / 255.0
             gain = 1.0 + (rng.uniform(0.5, 1.6, size=3) - 1.0) * s
             gamma = 1.0 + (rng.uniform(0.6, 1.6) - 1.0) * s
             wf = np.clip(wf * gain, 0, 1) ** max(gamma, 0.05)
-            wf = np.clip(wf + rng.randn(H, W, 3) * 0.08 * s, 0, 1)
+            wf = np.clip(wf + rng.randn(fh, fw, 3) * 0.08 * s, 0, 1)
             warped = (wf * 255).astype(np.uint8)
             cv2.imwrite(
                 os.path.join(seq, f"{ii}.ppm"),

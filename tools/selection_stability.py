@@ -98,13 +98,20 @@ def trained_probe(ckpt, work=None, num_pts=512):
     own_work = work is None
     work = work or tempfile.mkdtemp(prefix="selstab_")
     data_root = os.path.join(work, "hpatches")
+    # POSFEAT_PROBE_NPTS raises the detector budget to the HPatches
+    # operating point (8192) — only meaningful with a fixture large
+    # enough to carry it (POSFEAT_PROBE_H/W=480/640 on device)
+    num_pts = int(os.environ.get("POSFEAT_PROBE_NPTS", num_pts))
     if not os.path.isdir(data_root):
         os.makedirs(data_root)
         # POSFEAT_PROBE_SEQS widens the fixture (default 4 sequences x 6
         # images = 24): delta-MMA noise shrinks ~1/sqrt(n), and gate
         # flip decisions ride on ±0.003 at the default size
         make_eval_fixture(
-            data_root, n_seq=int(os.environ.get("POSFEAT_PROBE_SEQS", "4"))
+            data_root,
+            n_seq=int(os.environ.get("POSFEAT_PROBE_SEQS", "4")),
+            h=int(os.environ.get("POSFEAT_PROBE_H", "0")) or None,
+            w=int(os.environ.get("POSFEAT_PROBE_W", "0")) or None,
         )
 
     # Fast-path gates are read from the environment at trace time by
@@ -209,6 +216,8 @@ def trained_probe(ckpt, work=None, num_pts=512):
         "topk_overlap_min": round(float(np.min(overlaps)), 5),
         "match_agreement_mean": round(float(np.mean(agreements)), 5),
         "n_images": len(overlaps),
+        "num_pts": num_pts,
+        "tail_f32": os.environ.get("POSFEAT_DESC_TAIL_F32", ""),
     }
     print(json.dumps(rec))
     if own_work:

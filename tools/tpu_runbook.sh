@@ -51,6 +51,14 @@ POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python tools/selection_stability.py --
   > /tmp/runbook/07_probe_tail_iconv2.log 2>&1
 POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
   > /tmp/runbook/08_probe_tail_up2.log 2>&1
+# full-size fixture at the HPatches operating point (480x640, 8192 pts):
+# tail-of-ranking churn at 16x the small-fixture budget (VERDICT r2 weak #2)
+POSFEAT_PROBE_H=480 POSFEAT_PROBE_W=640 POSFEAT_PROBE_NPTS=8192 \
+  timeout 4500 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/09_probe_fullsize_base.log 2>&1
+POSFEAT_PROBE_H=480 POSFEAT_PROBE_W=640 POSFEAT_PROBE_NPTS=8192 POSFEAT_DESC_TAIL_F32=up2 \
+  timeout 4500 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/09b_probe_fullsize_up2.log 2>&1
 
 # 4. Bench A/Bs at bs16 only (one compile each)
 export POSFEAT_BENCH_CONFIGS=16:bf16
