@@ -218,16 +218,21 @@ class UpConv(nn.Module):
     scale: int = 2
     dtype: Any = jnp.float32
     accum_f32: bool = False
+    # run the bilinear lerp arithmetic in f32 and round ONCE to the
+    # compute dtype (instead of rounding every lerp partial) — pure
+    # VPU work, zero MXU cost; a candidate piece of the bf16 ΔMMA fix
+    interp_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
-        x = interpolate_bilinear(
-            x, (H * self.scale, W * self.scale), align_corners=True
-        )
+        xi = x.astype(jnp.float32) if self.interp_f32 else x
+        xi = interpolate_bilinear(
+            xi, (H * self.scale, W * self.scale), align_corners=True
+        ).astype(x.dtype)
         return ConvBNElu(self.out_ch, self.kernel, 1, self.dtype,
                          accum_f32=self.accum_f32, name="conv")(
-            x, train
+            xi, train
         )
 
 
@@ -292,12 +297,18 @@ class ResUNet(nn.Module):
         # decomposition showed the residual bf16 error is operand
         # rounding where descriptors form, ARCHITECTURE.md "Numerics").
         #   'up2'    — upconv2 + iconv2 + conv_fine in f32
+        #   'up2o'   — upconv2 + conv_fine in f32, iconv2 bf16 (half
+        #              of up2's extra MXU work; decomposition probe)
+        #   'upsamp' — f32 bilinear-lerp arithmetic in upconv2 only,
+        #              all convs bf16 (zero MXU cost)
         #   'iconv2' — iconv2 + conv_fine in f32
         # These run at H/4 (a small fraction of trunk FLOPs); judged by
         # the trained-probe ΔMMA like the other gates.
         tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
         bf16 = self.dtype == jnp.bfloat16
-        up2_dt = jnp.float32 if (bf16 and tail == "up2") else self.dtype
+        up2_dt = (
+            jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
+        )
         ic2_dt = (
             jnp.float32
             if (bf16 and tail in ("iconv2", "up2"))
@@ -306,6 +317,7 @@ class ResUNet(nn.Module):
         y = UpConv(
             256, 3, 2, up2_dt,
             accum_f32=acc and up2_dt != jnp.float32,
+            interp_f32=bf16 and tail == "upsamp",
             name="upconv2",
         )(y.astype(up2_dt), train)
         y = _skipconnect(y.astype(ic2_dt), x1.astype(ic2_dt))

@@ -51,6 +51,12 @@ POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python tools/selection_stability.py --
   > /tmp/runbook/07_probe_tail_iconv2.log 2>&1
 POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
   > /tmp/runbook/08_probe_tail_up2.log 2>&1
+# cheap decompositions of the up2 fix (CPU: up2 is inside budget at
+# -0.0048/-0.0041; these isolate WHERE the upconv2 precision matters)
+POSFEAT_DESC_TAIL_F32=up2o timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/08b_probe_tail_up2o.log 2>&1
+POSFEAT_DESC_TAIL_F32=upsamp timeout 3000 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/08c_probe_tail_upsamp.log 2>&1
 # full-size fixture at the HPatches operating point (480x640, 8192 pts):
 # tail-of-ranking churn at 16x the small-fixture budget (VERDICT r2 weak #2)
 POSFEAT_PROBE_H=480 POSFEAT_PROBE_W=640 POSFEAT_PROBE_NPTS=8192 \
@@ -70,6 +76,8 @@ POSFEAT_REFINE=pool timeout 3000 python bench.py > /tmp/runbook/13c_bench_refine
 POSFEAT_SAMPLE_F32=0 timeout 3000 python bench.py > /tmp/runbook/13d_bench_samplebf16.log 2>&1
 POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python bench.py > /tmp/runbook/13e_bench_tail_iconv2.log 2>&1
 POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python bench.py > /tmp/runbook/13f_bench_tail_up2.log 2>&1
+POSFEAT_DESC_TAIL_F32=up2o timeout 3000 python bench.py > /tmp/runbook/13g_bench_tail_up2o.log 2>&1
+POSFEAT_DESC_TAIL_F32=upsamp timeout 3000 python bench.py > /tmp/runbook/13h_bench_tail_upsamp.log 2>&1
 POSFEAT_BENCH_CONFIGS=16:f32 timeout 3000 python bench.py > /tmp/runbook/16_bench_f32_bs16.log 2>&1
 
 # 5. bs32 with the winning combo (judged later; compile is the cost)
