@@ -284,14 +284,6 @@ class ResUNet(nn.Module):
             os.environ.get("POSFEAT_DECODER_ACCUM") == "f32"
             and self.dtype == jnp.bfloat16
         )
-        y = UpConv(512, 3, 2, self.dtype, accum_f32=acc, name="upconv3")(
-            x3, train
-        )
-        y = _skipconnect(y, x2)
-        y = ConvBNElu(512, 3, 1, self.dtype, accum_f32=acc, name="iconv3")(
-            y, train
-        )
-
         # POSFEAT_DESC_TAIL_F32: run the descriptor-FORMING tail with f32
         # OPERANDS (not just f32 accumulation — the round-2 ΔMMA
         # decomposition showed the residual bf16 error is operand
@@ -301,11 +293,23 @@ class ResUNet(nn.Module):
         #              of up2's extra MXU work; decomposition probe)
         #   'upsamp' — f32 bilinear-lerp arithmetic in upconv2 only,
         #              all convs bf16 (zero MXU cost)
+        #   'upsamp3'— f32 lerp arithmetic in BOTH upconv3 and upconv2
+        #              (still zero MXU cost)
         #   'iconv2' — iconv2 + conv_fine in f32
         # These run at H/4 (a small fraction of trunk FLOPs); judged by
         # the trained-probe ΔMMA like the other gates.
         tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
         bf16 = self.dtype == jnp.bfloat16
+        y = UpConv(
+            512, 3, 2, self.dtype, accum_f32=acc,
+            interp_f32=bf16 and tail == "upsamp3",
+            name="upconv3",
+        )(x3, train)
+        y = _skipconnect(y, x2)
+        y = ConvBNElu(512, 3, 1, self.dtype, accum_f32=acc, name="iconv3")(
+            y, train
+        )
+
         up2_dt = (
             jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
         )
@@ -317,7 +321,7 @@ class ResUNet(nn.Module):
         y = UpConv(
             256, 3, 2, up2_dt,
             accum_f32=acc and up2_dt != jnp.float32,
-            interp_f32=bf16 and tail == "upsamp",
+            interp_f32=bf16 and tail in ("upsamp", "upsamp3"),
             name="upconv2",
         )(y.astype(up2_dt), train)
         y = _skipconnect(y.astype(ic2_dt), x1.astype(ic2_dt))
