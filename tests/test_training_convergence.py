@@ -10,7 +10,8 @@ same-distribution fixture:
   'sift'), since the score head is untrained in stage 1;
 - stage 2 is judged by its REINFORCE health trends (n_pairs — the
   count of epipolar-consistent sampled pairs — must rise) plus a
-  no-collapse bound on learned-detector MMA. The reference explicitly
+  measured-improvement bound on learned-detector MMA (+0.03 over the
+  untrained head; both dated re-runs measured +0.070). The reference explicitly
   documents stage-2 loss values as uninformative and uses score-map
   inspection as the stopping criterion (reference README.md:72-77).
 
@@ -83,7 +84,11 @@ def test_two_stage_training_improves_matching(tmp_path, monkeypatch):
     # inspection as its stopping criterion) ...
     assert rec["n_pairs_last"] > rec["n_pairs_first"], rec
     assert rec["reinforce_last"] < rec["reinforce_first"], rec
-    # ... and the learned detector does not collapse
+    # ... and stage 2 demonstrably IMPROVES the detector over the
+    # untrained head (r2 and r3 dated re-runs both measured +0.070,
+    # 0.608 -> 0.678, PROOFS.md; +0.03 leaves ~2x headroom). The full
+    # 5x200 reference schedule reaches 0.74-0.77 (stage-2 sweep,
+    # PROOFS.md) — this short 150-step run is the CI-scale proxy.
     assert (
-        rec["mma3_learned_stage2"] >= rec["mma3_learned_stage1"] - 0.05
+        rec["mma3_learned_stage2"] >= rec["mma3_learned_stage1"] + 0.03
     ), rec
