@@ -412,27 +412,49 @@ class ResUNetHR(nn.Module):
             y, train
         )
 
-        y = UpConv(256, 3, 2, self.dtype, accum_f32=acc, name="upconv2")(
-            y, train
-        )
+        # POSFEAT_DESC_TAIL_F32 applies to the LAST decoder handoff —
+        # here upconv1/iconv1 at H/2 (the level descriptors form at),
+        # the analog of upconv2/iconv2 in ResUNet. Same variant names,
+        # same contract (see ResUNet above and PROOFS.md).
+        tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
+        bf16 = self.dtype == jnp.bfloat16
+        y = UpConv(
+            256, 3, 2, self.dtype, accum_f32=acc,
+            interp_f32=bf16 and tail == "upsamp3",
+            name="upconv2",
+        )(y, train)
         y = _skipconnect(y, x1)
         y = ConvBNElu(256, 3, 1, self.dtype, accum_f32=acc, name="iconv2")(
             y, train
         )
 
-        y = UpConv(192, 3, 2, self.dtype, accum_f32=acc, name="upconv1")(
-            y, train
+        up1_dt = (
+            jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
         )
-        y = _skipconnect(y, x_first1)
-        y = ConvBNElu(256, 3, 1, self.dtype, accum_f32=acc, name="iconv1")(
-            y, train
+        ic1_dt = (
+            jnp.float32
+            if (bf16 and tail in ("iconv2", "up2"))
+            else self.dtype
         )
+        y = UpConv(
+            192, 3, 2, up1_dt,
+            accum_f32=acc and up1_dt != jnp.float32,
+            interp_f32=bf16 and tail in ("upsamp", "upsamp3"),
+            name="upconv1",
+        )(y.astype(up1_dt), train)
+        y = _skipconnect(y.astype(ic1_dt), x_first1.astype(ic1_dt))
+        y = ConvBNElu(
+            256, 3, 1, ic1_dt,
+            accum_f32=acc and ic1_dt != jnp.float32,
+            name="iconv1",
+        )(y.astype(ic1_dt), train)
 
         # same POSFEAT_DESC_F32 contract as ResUNet: the final
-        # projection runs fully f32 when the knob is set
+        # projection runs fully f32 when the knob is set (or any tail
+        # variant is active, matching ResUNet)
         fine_dt = (
             jnp.float32
-            if os.environ.get("POSFEAT_DESC_F32") == "1"
+            if (os.environ.get("POSFEAT_DESC_F32") == "1" or (bf16 and tail))
             else self.dtype
         )
         x_fine = ConvBNElu(

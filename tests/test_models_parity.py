@@ -391,3 +391,36 @@ def test_desc_tail_f32_checkpoint_compatible(rng, monkeypatch):
         assert np.isfinite(d).all(), tail
         assert d.max() <= 0.12 * max(scale, 1e-3), (tail, d.max(), scale)
     monkeypatch.delenv("POSFEAT_DESC_TAIL_F32")
+
+
+def test_desc_tail_f32_hr_checkpoint_compatible(rng, monkeypatch):
+    """ResUNetHR honors the same POSFEAT_DESC_TAIL_F32 contract on ITS
+    last decoder handoff (upconv1/iconv1 at H/2) — previously the knob
+    was silently ignored there, the trap ADVICE r2 flagged for
+    DESC_F32. Checkpoint-compatible, outputs agree to bf16 rounding."""
+    from posfeat_tpu.models import ResUNetHR
+
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    model = ResUNetHR(encoder="resnet18", pretrained=False,
+                      coarse_out_ch=64, fine_out_ch=64, dtype=jnp.bfloat16)
+    v0 = model.init(jax.random.PRNGKey(0), x)
+    out0 = model.apply(v0, x)
+
+    for tail in ("up2", "upsamp", "upsamp3"):
+        monkeypatch.setenv("POSFEAT_DESC_TAIL_F32", tail)
+        m2 = ResUNetHR(encoder="resnet18", pretrained=False,
+                       coarse_out_ch=64, fine_out_ch=64, dtype=jnp.bfloat16)
+        v1 = m2.init(jax.random.PRNGKey(0), x)
+        t0 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v0)
+        t1 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v1)
+        assert t0 == t1, tail
+        out1 = m2.apply(v0, x)
+        assert out1["local_map"].dtype == jnp.float32, tail
+        d = np.abs(
+            np.asarray(out1["local_map"], np.float32)
+            - np.asarray(out0["local_map"], np.float32)
+        )
+        scale = float(np.abs(np.asarray(out0["local_map"], np.float32)).mean())
+        assert np.isfinite(d).all(), tail
+        assert d.max() <= 0.12 * max(scale, 1e-3), (tail, d.max(), scale)
+    monkeypatch.delenv("POSFEAT_DESC_TAIL_F32")
