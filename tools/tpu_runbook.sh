@@ -120,6 +120,22 @@ if [ -d "$CKPT2" ]; then
     > /tmp/runbook/43_probe192_all.log 2>&1
   CONV_MODEL=head192 POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
     > /tmp/runbook/44_probe192_tail_iconv2.log 2>&1
+  CONV_MODEL=head192 POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/45_probe192_tail_up2.log 2>&1
 fi
 
 echo DONE > /tmp/runbook/STATUS
+
+# 9. Persist the device evidence into the repo immediately — the
+#    runbook may fire from the recovery watcher with no live session,
+#    and /tmp does not survive the round.
+cd /root/repo
+{
+  echo "# TPU runbook device evidence ($(date -u '+%F %H:%M UTC'))"
+  echo
+  echo '```'
+  python tools/runbook_summary.py /tmp/runbook
+  echo '```'
+} > RUNBOOK_EVIDENCE.md
+git add RUNBOOK_EVIDENCE.md
+git commit -m "Record TPU runbook device measurements" || true
