@@ -184,21 +184,85 @@ class _ConvAccumF32(nn.Module):
         return y
 
 
+class _ConvSplit2(nn.Module):
+    """2-pass activation-split conv: f32-in / f32-out at 2x bf16 MXU
+    cost. The f32 activations are split hi = bf16(x), lo = bf16(x - hi)
+    and the two bf16 passes are summed in f32 — the activations'
+    operand rounding (the bf16 ΔMMA residual the tail probes localized,
+    PROOFS.md) is removed to ~bf16² precision while the weights stay
+    single-rounded bf16 (measured benign: the iconv2-f32 probe showed
+    f32 weights alone do nothing). Compare: Precision.HIGHEST f32 on
+    the MXU is a 6-pass emulation — 3x the cost of this. Parameter
+    names/shapes match nn.Conv so checkpoints interchange."""
+
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    # 2 passes: activations split hi/lo, weights single-rounded bf16.
+    # 3 passes: + the hi-activation x lo-weight cross term — the
+    # bf16x3 scheme (≈ lax.Precision.HIGH) at half HIGHEST's cost.
+    n_passes: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.out_ch),
+            jnp.float32,
+        )
+        p = (self.kernel - 1) // 2
+        x = x.astype(jnp.float32)
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        whi = w.astype(jnp.bfloat16)
+
+        def pass_(a, ww):
+            return jax.lax.conv_general_dilated(
+                a, ww, (self.stride, self.stride), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+
+        y = pass_(hi, whi) + pass_(lo, whi)
+        if self.n_passes >= 3:
+            wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = y + pass_(hi, wlo)
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.out_ch,), jnp.float32
+            )
+            y = y + b
+        return y
+
+
 class ConvBNElu(nn.Module):
     """The reference's `conv` block: Conv2d + BN + ELU (DescNet.py:167-179).
 
     accum_f32: use the bf16-in/f32-out conv and keep BN + ELU in f32
-    (parameters identical either way)."""
+    (parameters identical either way).
+    split2: use the 2-pass activation-split conv (f32-in/f32-out at 2x
+    bf16 cost); wins over accum_f32 when both are set."""
 
     out_ch: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
     accum_f32: bool = False
+    split2: bool = False
+    split_passes: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.accum_f32:
+        if self.split2:
+            x = _ConvSplit2(
+                self.out_ch, self.kernel, self.stride,
+                n_passes=self.split_passes, name="conv"
+            )(x)
+            x = _bn(train, jnp.float32, "bn")(x)
+        elif self.accum_f32:
             x = _ConvAccumF32(
                 self.out_ch, self.kernel, self.stride, name="conv"
             )(x)
@@ -222,6 +286,10 @@ class UpConv(nn.Module):
     # compute dtype (instead of rounding every lerp partial) — pure
     # VPU work, zero MXU cost; a candidate piece of the bf16 ΔMMA fix
     interp_f32: bool = False
+    # 2/3-pass activation-split conv; with interp_f32 the f32 lerp
+    # output feeds the split UNROUNDED (the full 'split2' tail dataflow)
+    split2: bool = False
+    split_passes: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -229,9 +297,12 @@ class UpConv(nn.Module):
         xi = x.astype(jnp.float32) if self.interp_f32 else x
         xi = interpolate_bilinear(
             xi, (H * self.scale, W * self.scale), align_corners=True
-        ).astype(x.dtype)
+        )
+        xi = xi if (self.split2 and self.interp_f32) else xi.astype(x.dtype)
         return ConvBNElu(self.out_ch, self.kernel, 1, self.dtype,
-                         accum_f32=self.accum_f32, name="conv")(
+                         accum_f32=self.accum_f32, split2=self.split2,
+                         split_passes=self.split_passes,
+                         name="conv")(
             xi, train
         )
 
@@ -296,6 +367,10 @@ class ResUNet(nn.Module):
         #   'upsamp3'— f32 lerp arithmetic in BOTH upconv3 and upconv2
         #              (still zero MXU cost)
         #   'iconv2' — iconv2 + conv_fine in f32
+        #   'split2' — f32 lerp + 2-pass activation-split convs for
+        #              upconv2/iconv2 (+f32 conv_fine): the same operand
+        #              de-rounding as 'up2' at 2x bf16 MXU cost instead
+        #              of Precision.HIGHEST f32's 6x
         # These run at H/4 (a small fraction of trunk FLOPs); judged by
         # the trained-probe ΔMMA like the other gates.
         tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
@@ -310,6 +385,8 @@ class ResUNet(nn.Module):
             y, train
         )
 
+        split2 = bf16 and tail in ("split2", "split3")
+        split_passes = 3 if tail == "split3" else 2
         up2_dt = (
             jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
         )
@@ -320,16 +397,23 @@ class ResUNet(nn.Module):
         )
         y = UpConv(
             256, 3, 2, up2_dt,
-            accum_f32=acc and up2_dt != jnp.float32,
-            interp_f32=bf16 and tail in ("upsamp", "upsamp3"),
+            accum_f32=acc and up2_dt != jnp.float32 and not split2,
+            interp_f32=split2 or (bf16 and tail in ("upsamp", "upsamp3")),
+            split2=split2, split_passes=split_passes,
             name="upconv2",
         )(y.astype(up2_dt), train)
-        y = _skipconnect(y.astype(ic2_dt), x1.astype(ic2_dt))
+        # under split2 the upconv2 block emits f32 and the concat
+        # promotes the bf16 skip — both operands reach the split conv
+        # unrounded
+        y = _skipconnect(
+            y if split2 else y.astype(ic2_dt), x1.astype(ic2_dt)
+        )
         y = ConvBNElu(
             256, 3, 1, ic2_dt,
-            accum_f32=acc and ic2_dt != jnp.float32,
+            accum_f32=acc and ic2_dt != jnp.float32 and not split2,
+            split2=split2, split_passes=split_passes,
             name="iconv2",
-        )(y.astype(ic2_dt), train)
+        )(y, train)
 
         fine_dt = (
             jnp.float32

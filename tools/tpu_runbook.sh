@@ -78,6 +78,15 @@ POSFEAT_DESC_TAIL_F32=iconv2 timeout 3000 python bench.py > /tmp/runbook/13e_ben
 POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python bench.py > /tmp/runbook/13f_bench_tail_up2.log 2>&1
 POSFEAT_DESC_TAIL_F32=up2o timeout 3000 python bench.py > /tmp/runbook/13g_bench_tail_up2o.log 2>&1
 POSFEAT_DESC_TAIL_F32=upsamp timeout 3000 python bench.py > /tmp/runbook/13h_bench_tail_upsamp.log 2>&1
+# split-conv tail variants: same operand de-rounding as up2 at 2x/3x
+# bf16 MXU cost instead of Precision.HIGHEST f32's 6x (PROOFS.md)
+POSFEAT_DESC_TAIL_F32=split2 timeout 3000 python bench.py > /tmp/runbook/13i_bench_tail_split2.log 2>&1
+POSFEAT_DESC_TAIL_F32=split3 timeout 3000 python bench.py > /tmp/runbook/13j_bench_tail_split3.log 2>&1
+# the two leading ship candidates WITH all speed gates on:
+POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_DESC_TAIL_F32=split2 \
+  timeout 3000 python bench.py > /tmp/runbook/14b_bench_all_split2.log 2>&1
+POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_DESC_TAIL_F32=split3 \
+  timeout 3000 python bench.py > /tmp/runbook/14c_bench_all_split3.log 2>&1
 POSFEAT_BENCH_CONFIGS=16:f32 timeout 3000 python bench.py > /tmp/runbook/16_bench_f32_bs16.log 2>&1
 
 # 5. bs32 with the winning combo (judged later; compile is the cost)
@@ -122,6 +131,10 @@ if [ -d "$CKPT2" ]; then
     > /tmp/runbook/44_probe192_tail_iconv2.log 2>&1
   CONV_MODEL=head192 POSFEAT_DESC_TAIL_F32=up2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
     > /tmp/runbook/45_probe192_tail_up2.log 2>&1
+  CONV_MODEL=head192 POSFEAT_DESC_TAIL_F32=split2 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/46_probe192_tail_split2.log 2>&1
+  CONV_MODEL=head192 POSFEAT_DESC_TAIL_F32=split3 timeout 3000 python tools/selection_stability.py --ckpt $CKPT2 \
+    > /tmp/runbook/47_probe192_tail_split3.log 2>&1
 fi
 
 echo DONE > /tmp/runbook/STATUS
