@@ -512,6 +512,8 @@ class ResUNetHR(nn.Module):
             y, train
         )
 
+        split2 = bf16 and tail in ("split2", "split3")
+        split_passes = 3 if tail == "split3" else 2
         up1_dt = (
             jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
         )
@@ -522,16 +524,20 @@ class ResUNetHR(nn.Module):
         )
         y = UpConv(
             192, 3, 2, up1_dt,
-            accum_f32=acc and up1_dt != jnp.float32,
-            interp_f32=bf16 and tail in ("upsamp", "upsamp3"),
+            accum_f32=acc and up1_dt != jnp.float32 and not split2,
+            interp_f32=split2 or (bf16 and tail in ("upsamp", "upsamp3")),
+            split2=split2, split_passes=split_passes,
             name="upconv1",
         )(y.astype(up1_dt), train)
-        y = _skipconnect(y.astype(ic1_dt), x_first1.astype(ic1_dt))
+        y = _skipconnect(
+            y if split2 else y.astype(ic1_dt), x_first1.astype(ic1_dt)
+        )
         y = ConvBNElu(
             256, 3, 1, ic1_dt,
-            accum_f32=acc and ic1_dt != jnp.float32,
+            accum_f32=acc and ic1_dt != jnp.float32 and not split2,
+            split2=split2, split_passes=split_passes,
             name="iconv1",
-        )(y.astype(ic1_dt), train)
+        )(y, train)
 
         # same POSFEAT_DESC_F32 contract as ResUNet: the final
         # projection runs fully f32 when the knob is set (or any tail
