@@ -175,7 +175,7 @@ def active_gates():
     return dict(trace_knob_key())
 
 
-def emit(value, results, backend, error=""):
+def emit(value, results, backend, error="", headline_config=""):
     rec = {
         "metric": "images_per_sec_per_chip_640px_extraction",
         "value": round(value, 3),
@@ -185,6 +185,8 @@ def emit(value, results, backend, error=""):
         "configs": {k: round(v, 2) for k, v in results.items()},
         "gates": active_gates(),
     }
+    if headline_config:
+        rec["headline_config"] = headline_config
     if error:
         rec["error"] = error
     print(json.dumps(rec))
@@ -207,27 +209,37 @@ def main():
 
     backend = jax.default_backend()
     results = {}
+    # The headline must be a config that ALSO satisfies the 0.5% MMA
+    # parity budget (BASELINE.md): f32 is exact, and bf16 is in-budget
+    # only with the split3 descriptor tail (ΔMMA −0.0040, PROOFS.md).
+    # "ship" adds split3 + the gates measured ΔMMA-neutral on the CPU
+    # probes and exact-by-construction sampling (ring/approx −0.0001,
+    # pair exact); the Mosaic-hazard im2col gate stays out until
+    # kp_parity2 passes on device (runbook step 01).
+    SHIP_ENV = {
+        "POSFEAT_DESC_TAIL_F32": "split3",
+        "POSFEAT_SAMPLE_IMPL": "pair",
+        "POSFEAT_TOPK": "approx",
+        "POSFEAT_HEAD_RING": "0",
+    }
+    # (name, batch, dtype, extra_env, headline_eligible)
     configs = [
-        (1, jnp.float32),
-        (16, jnp.float32),  # exact-numerics mode at batch (quality story)
-        (8, jnp.bfloat16),
-        (16, jnp.bfloat16),
-        (32, jnp.bfloat16),
+        ("1:f32", 1, jnp.float32, None, True),
+        ("16:f32", 16, jnp.float32, None, True),  # exact mode at batch
+        ("16:bf16", 16, jnp.bfloat16, None, False),  # raw diagnostic
+        ("16:bf16:ship", 16, jnp.bfloat16, SHIP_ENV, True),
+        ("32:bf16:ship", 32, jnp.bfloat16, SHIP_ENV, True),
     ]
     if backend == "cpu":  # keep CI fast
-        configs = [(1, jnp.float32)]
+        configs = [("1:f32", 1, jnp.float32, None, True)]
     # A/B experiments: restrict to a subset, e.g. POSFEAT_BENCH_CONFIGS=
-    # "16:bf16,32:bf16" — each env-gated variant is a fresh remote compile
-    # (~5-12 min on the axon relay), so measuring one batch size at a
-    # time matters
+    # "16:bf16,32:bf16:ship" — each env-gated variant is a fresh remote
+    # compile (~5-12 min on the axon relay), so measuring one batch size
+    # at a time matters
     sel = os.environ.get("POSFEAT_BENCH_CONFIGS")
     if sel:
         want = {w.strip() for w in sel.split(",")}
-        configs = [
-            (bs, dt)
-            for bs, dt in configs
-            if f"{bs}:{'bf16' if dt == jnp.bfloat16 else 'f32'}" in want
-        ]
+        configs = [c for c in configs if c[0] in want]
         if not configs:
             print(
                 f"POSFEAT_BENCH_CONFIGS={sel!r} matches no config on the "
@@ -236,32 +248,53 @@ def main():
             )
             sys.exit(2)
     last_err = ""
-    for bs, dt in configs:
-        # transient relay faults (broken pipe on large compiles) get one
-        # bounded retry per config before moving on
-        for attempt in (1, 2):
-            try:
-                ips = bench_extraction(
-                    bs, dt, n_scan=2 if backend == "cpu" else 16
-                )
-                results[f"bs{bs}_{dt.__name__}"] = ips
-                print(
-                    f"# extraction bs={bs} dtype={dt.__name__}: "
-                    f"{ips:.2f} im/s",
-                    file=sys.stderr,
-                )
-                break
-            except Exception as e:  # noqa: BLE001
-                last_err = f"bs{bs} {dt.__name__}: {e}"
-                print(
-                    f"# bench bs={bs} {dt.__name__} attempt {attempt} "
-                    f"failed: {e}",
-                    file=sys.stderr,
-                )
-                if attempt == 1:
-                    time.sleep(30)
-    best = max(results.values()) if results else 0.0
-    emit(best, results, backend, error="" if results else last_err[:300])
+    shippable = {}
+    for name, bs, dt, extra_env, eligible in configs:
+        saved = {}
+        if extra_env:
+            for k, v in extra_env.items():
+                saved[k] = os.environ.get(k)
+                os.environ[k] = v
+        try:
+            # transient relay faults (broken pipe on large compiles) get
+            # one bounded retry per config before moving on
+            for attempt in (1, 2):
+                try:
+                    ips = bench_extraction(
+                        bs, dt, n_scan=2 if backend == "cpu" else 16
+                    )
+                    results[name] = ips
+                    if eligible:
+                        shippable[name] = ips
+                    print(
+                        f"# extraction {name}: {ips:.2f} im/s",
+                        file=sys.stderr,
+                    )
+                    break
+                except Exception as e:  # noqa: BLE001
+                    last_err = f"{name}: {e}"
+                    print(
+                        f"# bench {name} attempt {attempt} failed: {e}",
+                        file=sys.stderr,
+                    )
+                    if attempt == 1:
+                        time.sleep(30)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    # headline: best config that also holds the quality budget; raw
+    # (out-of-budget) configs stay visible in "configs"
+    pool = shippable or results
+    best_name = max(pool, key=pool.get) if pool else ""
+    best = pool[best_name] if pool else 0.0
+    emit(
+        best, results, backend,
+        error="" if results else last_err[:300],
+        headline_config=best_name,
+    )
 
 
 if __name__ == "__main__":
