@@ -222,7 +222,10 @@ def main():
         "POSFEAT_TOPK": "approx",
         "POSFEAT_HEAD_RING": "0",
     }
-    # (name, batch, dtype, extra_env, headline_eligible)
+    # (name, batch, dtype, extra_env, headline_eligible). Each TPU
+    # config is a ~5-12 min remote compile; "1:f32" (bs-1 latency,
+    # 30.3 im/s in BENCH_r01) is selectable but not in the default
+    # sweep to keep the driver's capture inside its budget.
     configs = [
         ("1:f32", 1, jnp.float32, None, True),
         ("16:f32", 16, jnp.float32, None, True),  # exact mode at batch
@@ -230,8 +233,10 @@ def main():
         ("16:bf16:ship", 16, jnp.bfloat16, SHIP_ENV, True),
         ("32:bf16:ship", 32, jnp.bfloat16, SHIP_ENV, True),
     ]
+    default_skip = {"1:f32"}
     if backend == "cpu":  # keep CI fast
         configs = [("1:f32", 1, jnp.float32, None, True)]
+        default_skip = set()
     # A/B experiments: restrict to a subset, e.g. POSFEAT_BENCH_CONFIGS=
     # "16:bf16,32:bf16:ship" — each env-gated variant is a fresh remote
     # compile (~5-12 min on the axon relay), so measuring one batch size
@@ -247,6 +252,8 @@ def main():
                 file=sys.stderr,
             )
             sys.exit(2)
+    else:
+        configs = [c for c in configs if c[0] not in default_skip]
     last_err = ""
     shippable = {}
     for name, bs, dt, extra_env, eligible in configs:
