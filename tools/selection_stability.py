@@ -177,8 +177,15 @@ def trained_probe(ckpt, work=None, num_pts=512):
         mma3, _, _ = hp.mma_at(errors, 3, n_i=n_i, n_v=n_v)
         return desc_dir, float(mma3)
 
+    # POSFEAT_PROBE_HEAD overrides the bf16 arm's head dataflow:
+    # "false" (plain XLA) makes the full-size 480x640 probe CPU-feasible
+    # (interpret-Pallas is ~50x too slow there) and isolates the
+    # BACKBONE/tail numerics — the descriptor question — from the
+    # Pallas selection path, which stays a device-probe concern.
+    head = os.environ.get("POSFEAT_PROBE_HEAD", "pallas")
+    head = False if head in ("false", "0") else head
     d32, mma32 = run("f32", "float32", False)
-    dbf, mmabf = run("bf16", "bfloat16", "pallas")
+    dbf, mmabf = run("bf16", "bfloat16", head)
     _set_gates(caller_gates)  # leave the caller's environment intact
 
     overlaps, agreements = [], []
@@ -218,6 +225,7 @@ def trained_probe(ckpt, work=None, num_pts=512):
         "n_images": len(overlaps),
         "num_pts": num_pts,
         "tail_f32": os.environ.get("POSFEAT_DESC_TAIL_F32", ""),
+        "bf16_head": str(head),
     }
     print(json.dumps(rec))
     if own_work:
