@@ -371,22 +371,33 @@ class ResUNet(nn.Module):
         #              upconv2/iconv2 (+f32 conv_fine): the same operand
         #              de-rounding as 'up2' at 2x bf16 MXU cost instead
         #              of Precision.HIGHEST f32's 6x
+        #   'split3' — 3-pass splits (+ hi-act x lo-weight term); matches
+        #              the true-f32 up2 tail to 8e-6 at half HIGHEST's
+        #              passes — the bf16 shipping candidate (PROOFS.md)
+        #   'split3w'— split3 widened one level up (upconv3/iconv3 at
+        #              H/8 too, +~0.5x the H/4 split cost): the prepared
+        #              fallback if the full-size 8192-pt probe puts
+        #              split3 over the 0.005 budget
         # These run at H/4 (a small fraction of trunk FLOPs); judged by
         # the trained-probe ΔMMA like the other gates.
         tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
         bf16 = self.dtype == jnp.bfloat16
+        wide = bf16 and tail == "split3w"
         y = UpConv(
-            512, 3, 2, self.dtype, accum_f32=acc,
-            interp_f32=bf16 and tail == "upsamp3",
+            512, 3, 2, self.dtype, accum_f32=acc and not wide,
+            interp_f32=wide or (bf16 and tail == "upsamp3"),
+            split2=wide, split_passes=3,
             name="upconv3",
         )(x3, train)
-        y = _skipconnect(y, x2)
-        y = ConvBNElu(512, 3, 1, self.dtype, accum_f32=acc, name="iconv3")(
-            y, train
-        )
+        y = _skipconnect(y if wide else y.astype(self.dtype), x2)
+        y = ConvBNElu(
+            512, 3, 1, self.dtype, accum_f32=acc and not wide,
+            split2=wide, split_passes=3,
+            name="iconv3",
+        )(y, train)
 
-        split2 = bf16 and tail in ("split2", "split3")
-        split_passes = 3 if tail == "split3" else 2
+        split2 = bf16 and tail in ("split2", "split3", "split3w")
+        split_passes = 2 if tail == "split2" else 3
         up2_dt = (
             jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
         )
@@ -401,7 +412,7 @@ class ResUNet(nn.Module):
             interp_f32=split2 or (bf16 and tail in ("upsamp", "upsamp3")),
             split2=split2, split_passes=split_passes,
             name="upconv2",
-        )(y.astype(up2_dt), train)
+        )(y.astype(up2_dt) if not wide else y, train)
         # under split2 the upconv2 block emits f32 and the concat
         # promotes the bf16 skip — both operands reach the split conv
         # unrounded
