@@ -65,6 +65,10 @@ POSFEAT_PROBE_H=480 POSFEAT_PROBE_W=640 POSFEAT_PROBE_NPTS=8192 \
 POSFEAT_PROBE_H=480 POSFEAT_PROBE_W=640 POSFEAT_PROBE_NPTS=8192 POSFEAT_DESC_TAIL_F32=up2 \
   timeout 4500 python tools/selection_stability.py --ckpt $CKPT \
   > /tmp/runbook/09b_probe_fullsize_up2.log 2>&1
+# the shipping candidate at the operating point (non-interpret Pallas)
+POSFEAT_PROBE_H=480 POSFEAT_PROBE_W=640 POSFEAT_PROBE_NPTS=8192 POSFEAT_DESC_TAIL_F32=split3 \
+  timeout 4500 python tools/selection_stability.py --ckpt $CKPT \
+  > /tmp/runbook/09c_probe_fullsize_split3.log 2>&1
 
 # 4. Bench A/Bs at bs16 only (one compile each)
 export POSFEAT_BENCH_CONFIGS=16:bf16
