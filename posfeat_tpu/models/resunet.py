@@ -326,6 +326,11 @@ class ResUNet(nn.Module):
     coarse_out_ch: int = 128
     fine_out_ch: int = 128
     dtype: Any = jnp.float32
+    # config-level default for the bf16 descriptor-tail numerics fix
+    # (same values as POSFEAT_DESC_TAIL_F32, which overrides it) — lets
+    # an extract config request e.g. backbone_config: {desc_tail:
+    # split3} without environment plumbing
+    desc_tail: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -380,7 +385,7 @@ class ResUNet(nn.Module):
         #              split3 over the 0.005 budget
         # These run at H/4 (a small fraction of trunk FLOPs); judged by
         # the trained-probe ΔMMA like the other gates.
-        tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
+        tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "") or self.desc_tail
         bf16 = self.dtype == jnp.bfloat16
         wide = bf16 and tail == "split3w"
         y = UpConv(
@@ -456,6 +461,7 @@ class ResUNetHR(nn.Module):
     coarse_out_ch: int = 128
     fine_out_ch: int = 128
     dtype: Any = jnp.float32
+    desc_tail: str = ""  # same contract as ResUNet.desc_tail
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -511,7 +517,7 @@ class ResUNetHR(nn.Module):
         # here upconv1/iconv1 at H/2 (the level descriptors form at),
         # the analog of upconv2/iconv2 in ResUNet. Same variant names,
         # same contract (see ResUNet above and PROOFS.md).
-        tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "")
+        tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "") or self.desc_tail
         bf16 = self.dtype == jnp.bfloat16
         y = UpConv(
             256, 3, 2, self.dtype, accum_f32=acc,
