@@ -529,8 +529,10 @@ class ResUNetHR(nn.Module):
             y, train
         )
 
-        split2 = bf16 and tail in ("split2", "split3")
-        split_passes = 3 if tail == "split3" else 2
+        # split3w maps to split3 here — HR has no second handoff level
+        # below H/2 to widen into
+        split2 = bf16 and tail in ("split2", "split3", "split3w")
+        split_passes = 2 if tail == "split2" else 3
         up1_dt = (
             jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
         )
