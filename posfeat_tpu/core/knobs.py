@@ -26,6 +26,7 @@ TRACE_KNOBS = (
     "POSFEAT_SAMPLE_F32",
     "POSFEAT_DESC_F32",
     "POSFEAT_DESC_TAIL_F32",
+    "POSFEAT_SCORE_F32",
     "POSFEAT_DECODER_ACCUM",
     "POSFEAT_HEAD_MODE",
     "POSFEAT_HEAD_IM2COL",

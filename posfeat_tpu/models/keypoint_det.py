@@ -609,9 +609,39 @@ class KeypointDet(nn.Module):
             ).astype(self.dtype) + b2.astype(self.dtype)
             x = prelu(instance_norm(x))
         if not pallas_mode:
-            score = self._act(
-                instance_norm(conv(self.out_channels, 1, "conv3")(x))
+            # POSFEAT_SCORE_F32 (default on): under a bf16 trunk, form
+            # the SCORE VALUES in f32 — one bf16 MXU pass with the f32
+            # accumulator surfaced on the 1x1 conv3 (out_channels wide:
+            # ~2.5 MB/img extra bandwidth, zero extra passes) and f32
+            # IN/activation. A bf16 score map collapses to ~133 distinct
+            # values in a 76k-candidate top-8192 (measured, PROOFS.md) —
+            # index tie-breaking then fills the budget in raster order,
+            # a spatially-biased selection costing ~0.07 MMA at the
+            # HPatches operating point. Exact f32 programs are
+            # unaffected (ties are already rare there).
+            import os as _os
+
+            score_f32 = (
+                self.dtype in (jnp.bfloat16, jnp.float16)
+                and _os.environ.get("POSFEAT_SCORE_F32", "1") == "1"
             )
+            if score_f32:
+                k3s, b3s = _Conv2Params(
+                    (1, 1, x.shape[-1], self.out_channels), name="conv3"
+                )()
+                z3 = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    k3s.astype(self.dtype),
+                    window_strides=(1, 1),
+                    padding=[(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32,
+                ) + b3s
+                score = self._act(instance_norm(z3))
+            else:
+                score = self._act(
+                    instance_norm(conv(self.out_channels, 1, "conv3")(x))
+                )
             if phase:
                 score = phase_to_space(
                     score.reshape(B, h, w, 4, 4, self.out_channels)
