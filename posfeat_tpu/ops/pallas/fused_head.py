@@ -1255,6 +1255,19 @@ def _fused_head_tail(
     # phase -> space on the tiny score map
     s = s.reshape(B, h, w, k, k, out_ch)
     s = s.transpose(0, 1, 3, 2, 4, 5).reshape(B, h * k, w * k, out_ch)
+    # POSFEAT_SCORE_F32 (default on): the whole tail above is f32 —
+    # rounding the final score to bf16 collapses a 76k-candidate
+    # top-8192 to ~133 distinct values and raster-biases the selection
+    # (measured −0.068 MMA at the operating point, PROOFS.md). Keep the
+    # score VALUES f32; only the 1-2 channel map pays f32 bandwidth.
+    import os as _os
+
+    out_dt = (
+        jnp.float32
+        if (dt == jnp.bfloat16
+            and _os.environ.get("POSFEAT_SCORE_F32", "1") == "1")
+        else dt
+    )
     if debug_intermediates:
         dbg = {
             "z": z, "ssum": ssum, "mu": mu, "sc": sc, "d1": d1,
@@ -1263,5 +1276,5 @@ def _fused_head_tail(
         if ring:
             dbg["e_top"] = row_e[0]
             dbg["u_top_e"] = u_row_e[0]
-        return s.astype(dt), dbg
-    return s.astype(dt)
+        return s.astype(out_dt), dbg
+    return s.astype(out_dt)
