@@ -86,6 +86,9 @@ POSFEAT_DESC_TAIL_F32=upsamp timeout 3000 python bench.py > /tmp/runbook/13h_ben
 # bf16 MXU cost instead of Precision.HIGHEST f32's 6x (PROOFS.md)
 POSFEAT_DESC_TAIL_F32=split2 timeout 3000 python bench.py > /tmp/runbook/13i_bench_tail_split2.log 2>&1
 POSFEAT_DESC_TAIL_F32=split3 timeout 3000 python bench.py > /tmp/runbook/13j_bench_tail_split3.log 2>&1
+# score-f32 cost attribution (default ON; measures the f32 score-map
+# bandwidth cost — expected ~0.05 ms/img class)
+POSFEAT_SCORE_F32=0 timeout 3000 python bench.py > /tmp/runbook/13k_bench_scoref32_off.log 2>&1
 # the two leading ship candidates WITH all speed gates on:
 POSFEAT_HEAD_IM2COL=1 POSFEAT_SAMPLE_IMPL=pair POSFEAT_TOPK=approx POSFEAT_HEAD_RING=0 POSFEAT_DESC_TAIL_F32=split2 \
   timeout 3000 python bench.py > /tmp/runbook/14b_bench_all_split2.log 2>&1
