@@ -424,3 +424,36 @@ def test_desc_tail_f32_hr_checkpoint_compatible(rng, monkeypatch):
         assert np.isfinite(d).all(), tail
         assert d.max() <= 0.12 * max(scale, 1e-3), (tail, d.max(), scale)
     monkeypatch.delenv("POSFEAT_DESC_TAIL_F32")
+
+
+def test_score_f32_prevents_tie_collapse(rng, monkeypatch):
+    """A bf16 score map collapses to a handful of distinct values, and
+    the reference's index tie-breaking then raster-biases the top-k
+    (measured -0.068 MMA at the HPatches operating point, PROOFS.md).
+    POSFEAT_SCORE_F32 (default on) must keep the score values f32-
+    distinct under a bf16 trunk."""
+    from posfeat_tpu.models import KeypointDet
+
+    fm = jnp.asarray(rng.rand(1, 48, 64, 192).astype(np.float32))
+    img = jnp.asarray(rng.rand(1, 192, 256, 3).astype(np.float32))
+
+    def top_distinct(score):
+        s = np.asarray(score, np.float32)[0, :, :, 0].ravel()
+        top = np.sort(s)[-2048:]
+        return len(np.unique(top))
+
+    model = KeypointDet(in_channels=192, out_channels=2, prior="identity",
+                        act="Softplus", fused_upsample=False,
+                        dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(3), fm, img)
+
+    monkeypatch.setenv("POSFEAT_SCORE_F32", "0")
+    n_off = top_distinct(model.apply(v, fm, img))
+    monkeypatch.setenv("POSFEAT_SCORE_F32", "1")
+    out_on = model.apply(v, fm, img)
+    n_on = top_distinct(out_on)
+    assert out_on.dtype == jnp.float32
+    # bf16 buckets the top-2048 into a few score classes; f32 keeps
+    # nearly every value distinct
+    assert n_off < 300, n_off
+    assert n_on > 1800, n_on
