@@ -446,8 +446,20 @@ class KeypointDet(nn.Module):
         raise ValueError(f"unknown act {self.act}")
 
     @nn.compact
-    def __call__(self, fine_map: jnp.ndarray, img_tensor: jnp.ndarray):
-        """fine_map: [B, h, w, C_in]; img_tensor: [B, H, W, 3] -> [B, H, W, out]."""
+    def __call__(
+        self,
+        fine_map: jnp.ndarray,
+        img_tensor: jnp.ndarray,
+        train: bool = False,
+    ):
+        """fine_map: [B, h, w, C_in]; img_tensor: [B, H, W, 3] -> [B, H, W, out].
+
+        `train=True` keeps the score-forming conv in the plain compute
+        dtype: the f32-accumulator path (POSFEAT_SCORE_F32) uses
+        `preferred_element_type`, whose conv VJP would mix bf16 primals
+        with f32 cotangents. Training samples from the score map but
+        never ranks a top-k, so bf16 score values are fine there; the
+        tie-collapse fix matters at extraction (train=False)."""
         conv = lambda ch, k, name: nn.Conv(
             ch,
             (k, k),
@@ -629,13 +641,20 @@ class KeypointDet(nn.Module):
                 k3s, b3s = _Conv2Params(
                     (1, 1, x.shape[-1], self.out_channels), name="conv3"
                 )()
+                # f32 operands at DEFAULT precision: on the MXU this is
+                # the same single bf16 pass with the f32 accumulator
+                # (operand VALUES are already bf16-rounded upstream),
+                # but — unlike preferred_element_type on bf16 operands —
+                # it differentiates cleanly (stage 2 trains the head
+                # under train=False for frozen-BN reference semantics,
+                # so the score conv must have a working VJP)
                 z3 = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype),
-                    k3s.astype(self.dtype),
+                    x.astype(self.dtype).astype(jnp.float32),
+                    k3s,
                     window_strides=(1, 1),
                     padding=[(0, 0), (0, 0)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 ) + b3s
                 score = self._act(instance_norm(z3))
             else:

@@ -104,7 +104,7 @@ class PoSFeat:
             "forward consumes [feat, image])"
         )
         l_map = self.localheader.apply(
-            variables["localheader"], local_input, tensor
+            variables["localheader"], local_input, tensor, train
         )
 
         if l_map.shape[-1] == 1:
