@@ -457,3 +457,30 @@ def test_score_f32_prevents_tie_collapse(rng, monkeypatch):
     # nearly every value distinct
     assert n_off < 300, n_off
     assert n_on > 1800, n_on
+
+
+def test_conv_split3_matches_true_f32():
+    """_ConvSplit2 n_passes=3 (bf16x3) must reproduce the true-f32 conv
+    to ~bf16^2 precision — the basis for shipping split3 as the cheap
+    f32-equivalent descriptor tail (PROOFS.md)."""
+    from posfeat_tpu.models.resunet import _ConvSplit2
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 16, 24, 64).astype(np.float32))
+    m3 = _ConvSplit2(32, 3, 1, n_passes=3)
+    m2 = _ConvSplit2(32, 3, 1, n_passes=2)
+    v = m3.init(jax.random.PRNGKey(0), x)
+    w = v["params"]["kernel"]
+    b = v["params"]["bias"]
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b
+    scale = float(np.abs(np.asarray(ref)).mean())
+    d3 = float(np.abs(np.asarray(m3.apply(v, x) - ref)).max())
+    d2 = float(np.abs(np.asarray(m2.apply(v, x) - ref)).max())
+    # 3-pass: both operands' rounding corrected -> ~2^-16 relative
+    assert d3 <= 2e-4 * scale, (d3, scale)
+    # 2-pass corrects activations only; weight rounding (~2^-8) remains
+    assert d3 < d2, (d3, d2)
