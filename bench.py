@@ -238,11 +238,12 @@ def main():
         ("1:f32", 1, jnp.float32, None, True),
         ("16:f32", 16, jnp.float32, None, True),  # exact mode at batch
         ("16:bf16", 16, jnp.bfloat16, None, False),  # raw diagnostic
+        ("32:bf16", 32, jnp.bfloat16, None, False),  # raw diagnostic
         ("16:bf16:lite", 16, jnp.bfloat16, LITE_ENV, True),
         ("16:bf16:ship", 16, jnp.bfloat16, SHIP_ENV, True),
         ("32:bf16:ship", 32, jnp.bfloat16, SHIP_ENV, True),
     ]
-    default_skip = {"1:f32", "16:bf16"}
+    default_skip = {"1:f32", "16:bf16", "32:bf16"}
     if backend == "cpu":  # keep CI fast
         configs = [("1:f32", 1, jnp.float32, None, True)]
         default_skip = set()
@@ -301,16 +302,20 @@ def main():
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
-    # headline: best config that also holds the quality budget; raw
-    # (out-of-budget) configs stay visible in "configs"
-    pool = shippable or results
+    # headline: best config that also holds the quality budget. With an
+    # EXPLICIT POSFEAT_BENCH_CONFIGS selection (A/B use) the caller
+    # asked for those configs, so the headline is the best of them; on
+    # the default sweep an out-of-budget raw config must NOT become the
+    # headline — if every eligible config failed, emit 0 + error.
+    pool = (results if sel else shippable)
     best_name = max(pool, key=pool.get) if pool else ""
     best = pool[best_name] if pool else 0.0
-    emit(
-        best, results, backend,
-        error="" if results else last_err[:300],
-        headline_config=best_name,
-    )
+    err = ""
+    if not results:
+        err = last_err[:300]
+    elif not pool:
+        err = f"no quality-eligible config succeeded; last: {last_err[:200]}"
+    emit(best, results, backend, error=err, headline_config=best_name)
 
 
 if __name__ == "__main__":

@@ -454,12 +454,13 @@ class KeypointDet(nn.Module):
     ):
         """fine_map: [B, h, w, C_in]; img_tensor: [B, H, W, 3] -> [B, H, W, out].
 
-        `train=True` keeps the score-forming conv in the plain compute
-        dtype: the f32-accumulator path (POSFEAT_SCORE_F32) uses
-        `preferred_element_type`, whose conv VJP would mix bf16 primals
-        with f32 cotangents. Training samples from the score map but
-        never ranks a top-k, so bf16 score values are fine there; the
-        tie-collapse fix matters at extraction (train=False)."""
+        `train` mirrors the torch train/eval distinction for future
+        mode-dependent behavior; it is currently unused here (the
+        POSFEAT_SCORE_F32 path applies in both modes — its f32-operand
+        DEFAULT-precision conv is the same single bf16 MXU pass with
+        f32 accumulation AND differentiates cleanly, which matters
+        because stage 2 trains the head under train=False for frozen-BN
+        reference semantics)."""
         conv = lambda ch, k, name: nn.Conv(
             ch,
             (k, k),

@@ -318,6 +318,32 @@ def _skipconnect(x1, x2):
     return jnp.concatenate([x2, x1], axis=-1)
 
 
+
+TAIL_VARIANTS = (
+    "iconv2", "up2", "up2o", "upsamp", "upsamp3",
+    "split2", "split3", "split3w",
+)
+
+
+def _tail_plan(tail: str, bf16: bool):
+    """Resolve the POSFEAT_DESC_TAIL_F32 / desc_tail variant into the
+    plan for a backbone's LAST decoder handoff (the level descriptors
+    form at): (split2, split_passes, up_f32, ic_f32, interp_f32).
+    Raises on unknown names — a typo'd variant must not silently run
+    the plain bf16 tail while probes record it as active."""
+    if tail and tail not in TAIL_VARIANTS:
+        raise ValueError(
+            f"unknown POSFEAT_DESC_TAIL_F32/desc_tail variant {tail!r}; "
+            f"expected one of {TAIL_VARIANTS}"
+        )
+    split2 = bf16 and tail in ("split2", "split3", "split3w")
+    split_passes = 2 if tail == "split2" else 3
+    up_f32 = bf16 and tail in ("up2", "up2o")
+    ic_f32 = bf16 and tail in ("iconv2", "up2")
+    interp = split2 or (bf16 and tail in ("upsamp", "upsamp3"))
+    return split2, split_passes, up_f32, ic_f32, interp
+
+
 class ResUNet(nn.Module):
     """Dense-descriptor U-Net (reference networks/DescNet.py:11-84)."""
 
@@ -387,6 +413,7 @@ class ResUNet(nn.Module):
         # the trained-probe ΔMMA like the other gates.
         tail = os.environ.get("POSFEAT_DESC_TAIL_F32", "") or self.desc_tail
         bf16 = self.dtype == jnp.bfloat16
+        split2, split_passes, up_f32, ic_f32, interp = _tail_plan(tail, bf16)
         wide = bf16 and tail == "split3w"
         y = UpConv(
             512, 3, 2, self.dtype, accum_f32=acc and not wide,
@@ -401,20 +428,12 @@ class ResUNet(nn.Module):
             name="iconv3",
         )(y, train)
 
-        split2 = bf16 and tail in ("split2", "split3", "split3w")
-        split_passes = 2 if tail == "split2" else 3
-        up2_dt = (
-            jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
-        )
-        ic2_dt = (
-            jnp.float32
-            if (bf16 and tail in ("iconv2", "up2"))
-            else self.dtype
-        )
+        up2_dt = jnp.float32 if up_f32 else self.dtype
+        ic2_dt = jnp.float32 if ic_f32 else self.dtype
         y = UpConv(
             256, 3, 2, up2_dt,
             accum_f32=acc and up2_dt != jnp.float32 and not split2,
-            interp_f32=split2 or (bf16 and tail in ("upsamp", "upsamp3")),
+            interp_f32=interp,
             split2=split2, split_passes=split_passes,
             name="upconv2",
         )(y.astype(up2_dt) if not wide else y, train)
@@ -531,20 +550,13 @@ class ResUNetHR(nn.Module):
 
         # split3w maps to split3 here — HR has no second handoff level
         # below H/2 to widen into
-        split2 = bf16 and tail in ("split2", "split3", "split3w")
-        split_passes = 2 if tail == "split2" else 3
-        up1_dt = (
-            jnp.float32 if (bf16 and tail in ("up2", "up2o")) else self.dtype
-        )
-        ic1_dt = (
-            jnp.float32
-            if (bf16 and tail in ("iconv2", "up2"))
-            else self.dtype
-        )
+        split2, split_passes, up_f32, ic_f32, interp = _tail_plan(tail, bf16)
+        up1_dt = jnp.float32 if up_f32 else self.dtype
+        ic1_dt = jnp.float32 if ic_f32 else self.dtype
         y = UpConv(
             192, 3, 2, up1_dt,
             accum_f32=acc and up1_dt != jnp.float32 and not split2,
-            interp_f32=split2 or (bf16 and tail in ("upsamp", "upsamp3")),
+            interp_f32=interp,
             split2=split2, split_passes=split_passes,
             name="upconv1",
         )(y.astype(up1_dt), train)

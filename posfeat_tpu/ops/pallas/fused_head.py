@@ -598,12 +598,20 @@ def fused_head_tail(
     # trade judged by the trained-weights delta-MMA probe
     # (tools/selection_stability.py), like the other fast-path gates.
     ring = os.environ.get("POSFEAT_HEAD_RING", "1") == "1"
+    # resolved OUTSIDE the jit like the other knobs so an in-process
+    # toggle invalidates the compile cache instead of silently serving
+    # the stale traced dtype
+    score_f32 = (
+        trunk.dtype == jnp.bfloat16
+        and os.environ.get("POSFEAT_SCORE_F32", "1") == "1"
+    )
     return _fused_head_tail(
         trunk, img_s, img_y, img_mu, img_a, k1_img, b1_img,
         k2_trunk, k2_img, b2, w3, b3, prelu_a,
         act=act, k=k, eps=eps, interpret=interpret,
         debug_intermediates=debug_intermediates, tiles=tiles, zt=zt,
         mode=mode, tri=tri, im2col=im2col, ring=ring,
+        score_f32=score_f32,
     )
 
 
@@ -611,7 +619,7 @@ def fused_head_tail(
     jax.jit,
     static_argnames=(
         "act", "k", "interpret", "debug_intermediates", "tiles", "zt",
-        "mode", "tri", "im2col", "ring",
+        "mode", "tri", "im2col", "ring", "score_f32",
     ),
 )
 def _fused_head_tail(
@@ -639,6 +647,7 @@ def _fused_head_tail(
     tri: bool = False,
     im2col: bool = False,
     ring: bool = True,
+    score_f32: bool = False,
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
@@ -1255,19 +1264,13 @@ def _fused_head_tail(
     # phase -> space on the tiny score map
     s = s.reshape(B, h, w, k, k, out_ch)
     s = s.transpose(0, 1, 3, 2, 4, 5).reshape(B, h * k, w * k, out_ch)
-    # POSFEAT_SCORE_F32 (default on): the whole tail above is f32 —
-    # rounding the final score to bf16 collapses a 76k-candidate
-    # top-8192 to ~133 distinct values and raster-biases the selection
-    # (measured −0.068 MMA at the operating point, PROOFS.md). Keep the
-    # score VALUES f32; only the 1-2 channel map pays f32 bandwidth.
-    import os as _os
-
-    out_dt = (
-        jnp.float32
-        if (dt == jnp.bfloat16
-            and _os.environ.get("POSFEAT_SCORE_F32", "1") == "1")
-        else dt
-    )
+    # score_f32 (static, resolved in the un-jitted wrapper from
+    # POSFEAT_SCORE_F32): the whole tail above is f32 — rounding the
+    # final score to bf16 collapses a 76k-candidate top-8192 to ~133
+    # distinct values and raster-biases the selection (measured −0.068
+    # MMA at the operating point, PROOFS.md). Keep the score VALUES
+    # f32; only the 1-2 channel map pays f32 bandwidth.
+    out_dt = jnp.float32 if score_f32 else dt
     if debug_intermediates:
         dbg = {
             "z": z, "ssum": ssum, "mu": mu, "sc": sc, "d1": d1,
