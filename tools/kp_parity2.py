@@ -64,16 +64,27 @@ def run(mode, im2col):
     return np.asarray(out, np.float32)
 
 
-ref = run("v3", False)  # committed default, parity-tested vs XLA on CPU
-for label, mode, im2col in [("v1", "v1", False), ("v3-im2col", "v3", True)]:
-    o = run(mode, im2col)
-    d = np.abs(o - ref)
-    rel = d / (np.abs(ref) + 1e-3)
-    print(
-        f"L1 {label} vs v3: max|d|={d.max():.5f} mean|d|={d.mean():.6f} "
-        f"p99rel={np.percentile(rel, 99):.5f}",
-        flush=True,
-    )
+# L1 can fail to COMPILE standalone on real Mosaic even when the same
+# kernel compiles embedded in the full extraction program (observed
+# 2026-08-19: infer-vector-layout rejects the tail's (kk,out_ch)->lane
+# collapse in the standalone layout context; the bench program with the
+# identical pallas_call compiled and ran). L1 is diagnostic only — the
+# decisive device gate is L2 (full KeypointDet, phase-XLA vs pallas) —
+# so a standalone-compile failure must not abort the tool.
+try:
+    ref = run("v3", False)  # committed default, parity-tested vs XLA on CPU
+    for label, mode, im2col in [("v1", "v1", False), ("v3-im2col", "v3", True)]:
+        o = run(mode, im2col)
+        d = np.abs(o - ref)
+        rel = d / (np.abs(ref) + 1e-3)
+        print(
+            f"L1 {label} vs v3: max|d|={d.max():.5f} mean|d|={d.mean():.6f} "
+            f"p99rel={np.percentile(rel, 99):.5f}",
+            flush=True,
+        )
+except Exception as e:  # noqa: BLE001
+    print(f"L1 SKIPPED (standalone compile failed): {type(e).__name__}: "
+          f"{str(e)[:300]}", flush=True)
 
 # ---------------- level 2: full KeypointDet --------------------------
 from posfeat_tpu.models.keypoint_det import KeypointDet
