@@ -498,28 +498,17 @@ class KeypointDet(nn.Module):
             precision=jax.lax.Precision.HIGHEST,
         ) + bimg.astype(self.dtype)
         n_i = y_img.shape[1] * y_img.shape[2]
-        if self.dtype in (jnp.bfloat16, jnp.float16):
-            # IN statistics as MXU contractions with f32 accumulation:
-            # low-precision x low-precision -> f32 MAC squares the rounded
-            # values EXACTLY (same numerics as converting to f32 first)
-            # without materializing the ~80 MB/img f32 copy of y_img
-            # (measured 0.38 ms/img for the convert alone)
-            ones_i = jnp.ones(y_img.shape[1:3], y_img.dtype)
-            s1_i = jax.lax.dot_general(
-                y_img, ones_i,
-                dimension_numbers=(((1, 2), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            gram_i = jax.lax.dot_general(
-                y_img, y_img,
-                dimension_numbers=(((1, 2), (1, 2)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [B, Cy, Cy]; only the diagonal is consumed
-            s2_i = jnp.einsum("bcc->bc", gram_i)
-        else:
-            y32f = y_img.astype(jnp.float32)
-            s1_i = jnp.sum(y32f, axis=(1, 2))
-            s2_i = jnp.sum(y32f * y32f, axis=(1, 2))
+        # IN statistics in one fused pass: XLA folds the f32 convert and
+        # the square into a single multi-output reduction over y_img —
+        # one HBM read, f32 accumulation, no f32 copy materialized.
+        # (A bf16 MXU-contraction variant — ones-vector s1 + gram-diag
+        # s2 — was measured SLOWER on v5e: 0.239 vs 0.172 ms/img at
+        # 16x480x640x64, tools/bench_instats.py 2026-08-19; converting
+        # then squaring in f32 is numerically identical to the exact
+        # bf16xbf16->f32 MAC either way.)
+        y32f = y_img.astype(jnp.float32)
+        s1_i = jnp.sum(y32f, axis=(1, 2))
+        s2_i = jnp.sum(y32f * y32f, axis=(1, 2))
         mu_img = s1_i / n_i
         var_img = jnp.maximum(s2_i / n_i - mu_img * mu_img, 0.0)
         a_img = jax.lax.rsqrt(var_img + 1e-5)

@@ -95,19 +95,21 @@ def generate_kpts_single(
             count_src = nms_mask
 
     # 3×3 score-weighted coordinate refinement (putils:242-247).
-    # The default ('sel') evaluates the refinement only at the selected
-    # top-k positions (9 gathered neighbor scores per point, exploiting
-    # that the linspace grid is affine in the pixel index) instead of
-    # pooling three full-resolution 1-2 channel maps — lane-hostile ops
-    # on TPU whose results are then sampled at only num_pts positions
-    # anyway. Exact same math (jitted parity test pins agreement);
-    # valid (unpadded) windows mean every selected interior point has
-    # all 9 neighbors. POSFEAT_REFINE=pool forces the pooled-map
-    # formulation (also used whenever stride != 1 or stable is False).
+    # Two exact-same-math formulations (jitted parity test pins
+    # agreement): 'pool' (default) pools three full-resolution 1-2
+    # channel maps densely then fetches 3 values per selected point;
+    # 'sel' gathers the 9 neighbor scores per selected point and
+    # refines only there. 'sel' looked lane-friendlier on paper but the
+    # v5e microbench (tools/bench_refine.py, 2026-08-19) measures the
+    # k*9-element gather at 1.08 ms/img vs 0.24 ms/img for the dense
+    # pools + 3-value fetch at B=16, k=8192 — TPU gathers are
+    # row-at-a-time; dense stride-1 reduce_windows ride the VPU.
+    # POSFEAT_REFINE=sel selects the gather formulation; stride != 1 or
+    # stable=False always use 'pool'.
     import os
 
     refine_sel = (
-        os.environ.get("POSFEAT_REFINE", "sel") != "pool"
+        os.environ.get("POSFEAT_REFINE", "pool") == "sel"
         and stride == 1
         and stable
     )

@@ -401,10 +401,15 @@ def _tail_kernel(
     a_ref,  # [1, 1] prelu slope (SMEM)
     w3_ref,  # [Cout, OP] conv3 kernel (padded out dim)
     b3_ref,  # [1, OP]
-    u_ref,  # out: [1, th, tw, KK*OP]
-    usum_ref,  # out: [1, 1, OP]  (flat tile index)
-    usq_ref,  # out: [1, 1, OP]
-    *,
+    # out refs: out_ch x u_c [1, th, tw, KK], then usum/usq [1, 1, OP].
+    # One u ref PER output channel: the interleaving collapse
+    # (th,tw,kk,out_ch)->(th,tw,kk*out_ch) is rejected by Mosaic's
+    # layout inference for out_ch=2 ("unsupported shape cast",
+    # tpu.reshape vector<8x32x16x2xf32> -> vector<1x8x32x32xf32>,
+    # observed 2026-08-19 on v5e), while the out_ch=1 form
+    # (th,tw,kk,1)->(th,tw,kk) compiles — so emit that form per channel
+    # and let XLA do the tiny interleave outside the kernel.
+    *out_refs,
     th: int,
     tw: int,
     cout: int,
@@ -426,13 +431,13 @@ def _tail_kernel(
         )
         + b3_ref[0][None, :]
     )  # [m, OP] (OP = lane-padded out channels)
-    u_ref[0] = (
-        u.reshape(th, tw, kk, op)[..., :out_ch]
-        .reshape(th, tw, kk * out_ch)
-        .astype(u_ref.dtype)
-    )
-    usum_ref[0, 0] = jnp.sum(u, axis=0)
-    usq_ref[0, 0] = jnp.sum(u * u, axis=0)
+    u4 = u.reshape(th, tw, kk, op)
+    for c in range(out_ch):
+        out_refs[c][0] = (
+            u4[..., c : c + 1].reshape(th, tw, kk).astype(out_refs[c].dtype)
+        )
+    out_refs[out_ch][0, 0] = jnp.sum(u, axis=0)
+    out_refs[out_ch + 1][0, 0] = jnp.sum(u * u, axis=0)
 
 
 # --------------------------------------------------------------- driver
@@ -1135,7 +1140,7 @@ def _fused_head_tail(
         _tail_kernel, th=th2, tw=tw2, cout=cout, op=op, out_ch=out_ch, kk=kk
     )
     grid2 = (B, nty2, ntx2)
-    u, usum, usq = pl.pallas_call(
+    *u_parts, usum, usq = pl.pallas_call(
         kernel2,
         grid=grid2,
         in_specs=[
@@ -1162,10 +1167,13 @@ def _fused_head_tail(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, th2, tw2, kk * out_ch),
+                (1, th2, tw2, kk),
                 lambda b, i, j: (b, i, j, 0),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+            for _ in range(out_ch)
+        ]
+        + [
             pl.BlockSpec(
                 (1, 1, op),
                 lambda b, i, j: ((b * nty2 + i) * ntx2 + j, 0, 0),
@@ -1178,12 +1186,22 @@ def _fused_head_tail(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, h, w, kk * out_ch), jnp.float32),
+            jax.ShapeDtypeStruct((B, h, w, kk), jnp.float32)
+            for _ in range(out_ch)
+        ]
+        + [
             jax.ShapeDtypeStruct((B * nty2 * ntx2, 1, op), jnp.float32),
             jax.ShapeDtypeStruct((B * nty2 * ntx2, 1, op), jnp.float32),
         ],
         interpret=interpret,
     )(z, mu_ph, sc_ph, a_smem, w3p, b3p)
+    # reassemble the interleaved phase layout [B, h, w, kk*out_ch] in
+    # XLA (tiny 1-2 channel map; the in-kernel interleave is the Mosaic
+    # hazard documented at _tail_kernel)
+    if out_ch == 1:
+        u = u_parts[0]
+    else:
+        u = jnp.stack(u_parts, axis=-1).reshape(B, h, w, kk * out_ch)
 
     # ---- ring rewrite on u (conv3 is 1x1: ring errors never spread) ----
     a_val = prelu_a.astype(f32)[0]
