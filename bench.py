@@ -221,12 +221,17 @@ def main():
         "POSFEAT_SAMPLE_IMPL": "pair",
         "POSFEAT_TOPK": "approx",
         "POSFEAT_HEAD_RING": "0",
+        "POSFEAT_HEAD_IM2COL": "1",
     }
     # "lite" = the gates without the split3 descriptor tail. Quality
     # evidence (PROOFS.md): score-f32 (default-on) alone restores
     # parity-level ΔMMA at the 480x640/8192-pt operating point
     # (+0.0010); split3 additionally covers the descriptor-rounding
     # term the amplified 96x128 fixture exposes (−0.0078 → −0.0040).
+    # im2col joined 2026-08-19 after its device gate cleared: the
+    # out_ch=2 tail fix compiles on real Mosaic, kernel-level im2col
+    # matches v3 to 0.0037 max / 0.000000 mean, and the full-model
+    # score maps are identical to v3's (runbook 53_parity_outch_fix).
     LITE_ENV = {k: v for k, v in SHIP_ENV.items()
                 if k != "POSFEAT_DESC_TAIL_F32"}
     # (name, batch, dtype, extra_env, headline_eligible). Each TPU
