@@ -226,7 +226,8 @@ def train_config(root, stage, steps, load_path=None):
     return base
 
 
-def extract_and_mma(tag, data_root, work, load_path, use_sift=False):
+def extract_and_mma(tag, data_root, work, load_path, use_sift=False,
+                    num_pts=512):
     """use_sift=True is the reference's stage-1 val protocol
     (train_desc.yaml val detector 'sift'): fixed OpenCV-SIFT keypoints +
     our descriptors, isolating descriptor quality from the (untrained in
@@ -253,7 +254,7 @@ def extract_and_mma(tag, data_root, work, load_path, use_sift=False):
         "use_sift": use_sift,
         "detector": "generate_kpts_single",
         "detector_config": {
-            "num_pts": 512,
+            "num_pts": num_pts,
             "stable": True,
             "use_nms": True,
             "nms_radius": 1,

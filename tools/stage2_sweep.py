@@ -1,0 +1,106 @@
+"""Stage-2 (detector/REINFORCE) recipe sweep on a fixed stage-1 checkpoint.
+
+VERDICT r2 item #3: close the learned-detector vs SIFT gap on the
+synthetic benchmark. Round-3's first sweep (PROOFS.md) found the gap is
+a training-budget artifact: ref-faithful 5x200 reaches 0.740 and SGD
+5e-3 ("hot5x200") 0.769 vs 0.833 for SIFT keypoints + the same
+descriptors. This driver runs the promised second sweep — longer
+schedule and reward-shaping variants — as a committed, repeatable tool
+(the first sweep was ad-hoc and died with its session).
+
+Usage:
+  [CONV_* nuisance envs] python tools/stage2_sweep.py --ckpt1 <stage1-ckpt-dir> \
+      [--work DIR] [--variants hot10x200,rt1,kp2]
+
+Each variant trains the head (backbone frozen) from the SAME stage-1
+checkpoint on SyntheticPairs, then reports learned-detector MMA@3 at
+num_pts 128 and 256, plus the shared SIFT-arm baseline. One JSON line
+per result so logs grep clean.
+"""
+import argparse
+import copy
+import json
+import os
+import sys
+import tempfile
+
+sys.path[:0] = [
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    os.path.dirname(os.path.abspath(__file__)),
+]
+
+from convergence_experiment import (  # noqa: E402
+    extract_and_mma,
+    make_eval_fixture,
+    train_config,
+)
+
+# name -> (epochs, steps/epoch, lr, decay_at_epoch, reward_thr, kp_penalty)
+VARIANTS = {
+    # double the hot5x200 budget; decay 0.1 at 80% like the reference's
+    # 5-epoch/decay-at-4 shape
+    "hot10x200": (10, 200, 5e-3, 8, 2, -0.001),
+    # tighter reward: only <1px-consistent pairs count as good
+    "rt1": (5, 200, 5e-3, 4, 1, -0.001),
+    # stronger keypoint-count penalty
+    "kp2": (5, 200, 5e-3, 4, 2, -0.002),
+    # combined
+    "hot10_rt1_kp2": (10, 200, 5e-3, 8, 1, -0.002),
+}
+
+
+def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen):
+    cfg = copy.deepcopy(train_config(work, "kp", steps, load_path=ck1))
+    cfg["checkpoint_name"] = f"kp_{name}"
+    cfg["epoch"] = epochs
+    cfg["optimal_lrs"] = [lr]
+    cfg["lr_decay_step"] = decay_at
+    cfg["lr_decay_factor"] = 0.1
+    cfg["DiskLoss_config"]["reward_config"]["reward_thr"] = rthr
+    cfg["DiskLoss_config"]["kp_penalty"] = kpen
+    return cfg
+
+
+def main():
+    from posfeat_tpu.train import Trainer
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt1", required=True, help="stage-1 checkpoint dir")
+    ap.add_argument("--work", default=None)
+    ap.add_argument("--variants", default="hot10x200,rt1,kp2,hot10_rt1_kp2")
+    args = ap.parse_args()
+
+    work = args.work or tempfile.mkdtemp(prefix="s2sweep_")
+    print("work dir:", work, flush=True)
+    data_root = os.path.join(work, "hp_eval")
+    os.makedirs(data_root, exist_ok=True)
+    make_eval_fixture(data_root)
+
+    # shared baseline: SIFT keypoints + the stage-1 descriptors
+    sift3, _ = extract_and_mma("sift_arm", data_root, work, args.ckpt1,
+                               use_sift=True)
+    print(json.dumps({"variant": "sift_arm", "mma3": round(sift3, 4)}),
+          flush=True)
+
+    results = {"sift_arm": sift3}
+    for name in args.variants.split(","):
+        epochs, steps, lr, decay_at, rthr, kpen = VARIANTS[name]
+        cfg = kp_config(work, name, args.ckpt1, epochs, steps, lr,
+                        decay_at, rthr, kpen)
+        Trainer(cfg, ckpt_root=os.path.join(work, "ckpts")).train()
+        ck2 = os.path.join(work, "ckpts", f"kp_{name}", f"{epochs:03d}")
+        rec = {"variant": name, "epochs": epochs, "steps": steps, "lr": lr,
+               "reward_thr": rthr, "kp_penalty": kpen,
+               "sift_arm_mma3": round(sift3, 4)}
+        for n_pts in (128, 256):
+            m3, _ = extract_and_mma(
+                f"{name}_n{n_pts}", data_root, work, ck2, num_pts=n_pts
+            )
+            rec[f"mma3_n{n_pts}"] = round(m3, 4)
+        print(json.dumps(rec), flush=True)
+        results[name] = rec
+    return results
+
+
+if __name__ == "__main__":
+    main()
