@@ -16,6 +16,20 @@ __version__ = "0.1.0"
 
 import os as _os
 
+if _os.environ.get("POSFEAT_FAST") == "1":
+    # One-switch certified fast mode: the "lite" gate set, device-
+    # certified 2026-08-19 on v5e at 255-259 im/s with ΔMMA@3 −0.0005
+    # at the HPatches operating point (PROOFS.md, RUNBOOK_EVIDENCE.md).
+    # Individual knobs still win if set explicitly; trace_knob_key()
+    # sees the resolved values, so jit caches stay consistent.
+    for _k, _v in (
+        ("POSFEAT_SAMPLE_IMPL", "pair"),
+        ("POSFEAT_TOPK", "approx"),
+        ("POSFEAT_HEAD_RING", "0"),
+        ("POSFEAT_HEAD_IM2COL", "1"),
+    ):
+        _os.environ.setdefault(_k, _v)
+
 if _os.environ.get("POSFEAT_PLATFORM"):
     # Explicit platform override (e.g. POSFEAT_PLATFORM=cpu for host-side
     # runs of the CLIs). Needed because site hooks may select the TPU

@@ -1,0 +1,48 @@
+"""POSFEAT_FAST=1 resolves to the certified lite gate set at import."""
+import json
+import os
+import subprocess
+import sys
+
+SNIPPET = (
+    "import os, json\n"
+    "import posfeat_tpu  # noqa: F401\n"
+    "print(json.dumps({k: os.environ.get(k) for k in ("
+    "'POSFEAT_SAMPLE_IMPL','POSFEAT_TOPK','POSFEAT_HEAD_RING',"
+    "'POSFEAT_HEAD_IM2COL')}))\n"
+)
+
+
+def _run(env_extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
+    out = subprocess.run(
+        [sys.executable, "-c", SNIPPET],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_fast_sets_lite_gates():
+    got = _run({"POSFEAT_FAST": "1"})
+    assert got == {
+        "POSFEAT_SAMPLE_IMPL": "pair",
+        "POSFEAT_TOPK": "approx",
+        "POSFEAT_HEAD_RING": "0",
+        "POSFEAT_HEAD_IM2COL": "1",
+    }
+
+
+def test_explicit_knob_beats_fast():
+    got = _run({"POSFEAT_FAST": "1", "POSFEAT_TOPK": "exact"})
+    assert got["POSFEAT_TOPK"] == "exact"
+    assert got["POSFEAT_SAMPLE_IMPL"] == "pair"
+
+
+def test_default_leaves_knobs_unset():
+    env = {k: "" for k in (
+        "POSFEAT_FAST", "POSFEAT_SAMPLE_IMPL", "POSFEAT_TOPK",
+        "POSFEAT_HEAD_RING", "POSFEAT_HEAD_IM2COL",
+    )}
+    # empty string is not "1", and setdefault must not fire
+    got = _run(env)
+    assert got["POSFEAT_HEAD_IM2COL"] == ""
