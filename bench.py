@@ -241,6 +241,7 @@ def main():
     # capture inside its budget.
     configs = [
         ("1:f32", 1, jnp.float32, None, True),
+        ("1:bf16", 1, jnp.bfloat16, None, False),  # latency diagnostic
         ("16:f32", 16, jnp.float32, None, True),  # exact mode at batch
         ("16:bf16", 16, jnp.bfloat16, None, False),  # raw diagnostic
         ("32:bf16", 32, jnp.bfloat16, None, False),  # raw diagnostic
@@ -254,7 +255,7 @@ def main():
     # measured (45.5 im/s, runbook 2026-08-19) but can never be the
     # headline, so it stays selectable rather than costing the driver's
     # capture one more ~10-min compile.
-    default_skip = {"1:f32", "16:f32", "16:bf16", "32:bf16", "64:bf16"}
+    default_skip = {"1:f32", "1:bf16", "16:f32", "16:bf16", "32:bf16", "64:bf16"}
     if backend == "cpu":  # keep CI fast
         configs = [("1:f32", 1, jnp.float32, None, True)]
         default_skip = set()
