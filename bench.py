@@ -35,7 +35,12 @@ import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 25.0
-H, W = 480, 640
+# resolution/budget overrides for scaling studies (defaults = the
+# reference's standard 480x640 @ 8192 pts; e.g. POSFEAT_BENCH_HW=960,1280
+# POSFEAT_BENCH_NPTS=20480 for the Aachen-class operating point)
+_hw = os.environ.get("POSFEAT_BENCH_HW", "480,640").split(",")
+H, W = int(_hw[0]), int(_hw[1])
+NUM_PTS = int(os.environ.get("POSFEAT_BENCH_NPTS", "8192"))
 
 
 def probe_backend(total_budget_s: float, probe_timeout_s: float = 240.0):
@@ -88,7 +93,7 @@ def probe_backend(total_budget_s: float, probe_timeout_s: float = 240.0):
         delay = min(delay * 2, 300.0)
 
 
-def build_extract(model, num_pts=8192):
+def build_extract(model, num_pts=NUM_PTS):
     from posfeat_tpu.ops.coords import denormalize_coords
     from posfeat_tpu.ops.detect import generate_kpts_single
     from posfeat_tpu.ops.grid_sample import sample_feat_by_coord
@@ -187,6 +192,9 @@ def emit(value, results, backend, error="", headline_config=""):
     }
     if headline_config:
         rec["headline_config"] = headline_config
+    if (H, W) != (480, 640) or NUM_PTS != 8192:
+        rec["hw"] = f"{H}x{W}"
+        rec["num_pts"] = NUM_PTS
     if error:
         rec["error"] = error
     print(json.dumps(rec))
