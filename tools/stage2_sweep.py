@@ -46,6 +46,10 @@ VARIANTS = {
     "kp2": (5, 200, 5e-3, 4, 2, -0.002),
     # combined
     "hot10_rt1_kp2": (10, 200, 5e-3, 8, 1, -0.002),
+    # sweep-2 readout: rt1 won (0.799) and the kp_penalty -0.002 in the
+    # combined variant dragged it to 0.784 — the untested cell is the
+    # longer schedule on PURE rt1
+    "hot10_rt1": (10, 200, 5e-3, 8, 1, -0.001),
 }
 
 
