@@ -180,7 +180,7 @@ def active_gates():
     return dict(trace_knob_key())
 
 
-def emit(value, results, backend, error="", headline_config=""):
+def emit(value, results, backend, error="", headline_config="", gates=None):
     rec = {
         "metric": "images_per_sec_per_chip_640px_extraction",
         "value": round(value, 3),
@@ -188,7 +188,10 @@ def emit(value, results, backend, error="", headline_config=""):
         "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 3),
         "backend": backend,
         "configs": {k: round(v, 2) for k, v in results.items()},
-        "gates": active_gates(),
+        # the gate set IN FORCE for the headline config (the per-config
+        # envs are applied temporarily, so a process-level snapshot at
+        # emit time would read empty)
+        "gates": active_gates() if gates is None else gates,
     }
     if headline_config:
         rec["headline_config"] = headline_config
@@ -286,12 +289,14 @@ def main():
         configs = [c for c in configs if c[0] not in default_skip]
     last_err = ""
     shippable = {}
+    config_gates = {}
     for name, bs, dt, extra_env, eligible in configs:
         saved = {}
         if extra_env:
             for k, v in extra_env.items():
                 saved[k] = os.environ.get(k)
                 os.environ[k] = v
+        config_gates[name] = active_gates()
         try:
             # transient relay faults (broken pipe on large compiles) get
             # one bounded retry per config before moving on
@@ -335,7 +340,8 @@ def main():
         err = last_err[:300]
     elif not pool:
         err = f"no quality-eligible config succeeded; last: {last_err[:200]}"
-    emit(best, results, backend, error=err, headline_config=best_name)
+    emit(best, results, backend, error=err, headline_config=best_name,
+         gates=config_gates.get(best_name))
 
 
 if __name__ == "__main__":

@@ -411,7 +411,12 @@ class Extractor:
             t0 = time.perf_counter()
             self._write_one(inputs, processed)
             t_add("write", time.perf_counter() - t0)
-            self.logger.info(f"{inputs['name1']}\nkpts: {n_emit}")
+            # actual emitted rows, not n_emit: when num_pts < 128 the
+            # slate is narrower than the 128-row reference floor and the
+            # slice clamps
+            self.logger.info(
+                f"{inputs['name1']}\nkpts: {processed['kpt'].shape[0]}"
+            )
 
         def finish(key, items, out):
             shape, det_cfg_key = key
