@@ -50,6 +50,10 @@ VARIANTS = {
     # combined variant dragged it to 0.784 — the untested cell is the
     # longer schedule on PURE rt1
     "hot10_rt1": (10, 200, 5e-3, 8, 1, -0.001),
+    # boundary probe of the localization-band hypothesis: does
+    # tightening past 1 px keep sharpening the ranking, or starve the
+    # reward (few <0.5px-consistent pairs early in training)?
+    "rt05": (5, 200, 5e-3, 4, 0.5, -0.001),
 }
 
 
