@@ -53,6 +53,50 @@ def _thr_mask(interior: jnp.ndarray, thr, thr_mod: str) -> jnp.ndarray:
     return interior > thr * kp_thr.reshape(B, 1, 1, 1)
 
 
+def _quad_refine_grids(kp_map: jnp.ndarray) -> jnp.ndarray:
+    """Dense SIFT-style quadratic (Taylor) sub-pixel peak fit.
+
+    For every interior pixel, fits s(x) ≈ s + gᵀδ + ½δᵀHδ to the 3×3
+    neighborhood via central differences and solves H·δ = −g; the
+    offset is clamped to ±0.5 px (the NMS winner is the discrete
+    argmax, so the true peak lies within half a pixel) and zeroed where
+    the Hessian is not a well-conditioned local max. This is the
+    classical sharper estimator than the reference's 3×3 center-of-mass
+    (putils:242-247), which biases toward the window center; exposed as
+    ``refine='quad'`` in detector_config (opt-in — the default stays
+    reference-parity 'avg3').
+
+    Returns the refined normalized-coordinate map [B, H-2, W-2, 2],
+    index-aligned with the interior crop. Math in f32 (the derivatives
+    are differences of near-equal values).
+    """
+    B, H, W, _ = kp_map.shape
+    s = kp_map[..., 0].astype(jnp.float32)  # [B, H, W]
+    c = s[:, 1:-1, 1:-1]
+    px = s[:, 1:-1, 2:]
+    mx = s[:, 1:-1, :-2]
+    py = s[:, 2:, 1:-1]
+    my = s[:, :-2, 1:-1]
+    dx = 0.5 * (px - mx)
+    dy = 0.5 * (py - my)
+    dxx = px - 2.0 * c + mx
+    dyy = py - 2.0 * c + my
+    dxy = 0.25 * (s[:, 2:, 2:] - s[:, 2:, :-2] - s[:, :-2, 2:] + s[:, :-2, :-2])
+    det = dxx * dyy - dxy * dxy
+    # well-posed strict local max: negative-definite Hessian
+    ok = (det > 1e-12) & (dxx < 0.0)
+    safe_det = jnp.where(ok, det, 1.0)
+    ox = jnp.where(ok, -(dyy * dx - dxy * dy) / safe_det, 0.0)
+    oy = jnp.where(ok, -(dxx * dy - dxy * dx) / safe_det, 0.0)
+    ox = jnp.clip(ox, -0.5, 0.5)
+    oy = jnp.clip(oy, -0.5, 0.5)
+    jj = jnp.arange(1, W - 1, dtype=jnp.float32)
+    ii = jnp.arange(1, H - 1, dtype=jnp.float32)
+    kx = -1.0 + 2.0 * (jj[None, None, :] + ox) / (W - 1)
+    ky = -1.0 + 2.0 * (ii[None, :, None] + oy) / (H - 1)
+    return jnp.stack([kx, ky], axis=-1).astype(kp_map.dtype)
+
+
 def generate_kpts_single(
     kp_map: jnp.ndarray,
     *,
@@ -66,12 +110,17 @@ def generate_kpts_single(
     key: jax.Array = None,
     stride: int = 1,
     scale: int = 4,
+    refine: str = "avg3",
 ):
     """Full-image detector with 3×3 soft coordinate refinement (putils:215-278).
 
     kp_map: [B, H, W, 1] full-res score map. Returns
     (kps_n [B, num_pts, 2] normalized, scores [B, num_pts, 1],
     valid_count [B] int32 = #selectable positions, pre-floor).
+
+    ``refine`` selects the sub-pixel estimator: 'avg3' (default —
+    reference-parity 3×3 score-weighted center of mass) or 'quad'
+    (quadratic Taylor peak fit, see _quad_refine_grids; stride-1 only).
     """
     B, H, W, _ = kp_map.shape
     interior = kp_map[:, 1:-1, 1:-1, :]  # [B, H-2, W-2, 1]
@@ -108,12 +157,17 @@ def generate_kpts_single(
     # stable=False always use 'pool'.
     import os
 
+    refine_quad = refine == "quad" and stride == 1
     refine_sel = (
-        os.environ.get("POSFEAT_REFINE", "pool") == "sel"
+        not refine_quad
+        and os.environ.get("POSFEAT_REFINE", "pool") == "sel"
         and stride == 1
         and stable
     )
-    if not refine_sel:
+    if refine_quad:
+        grids = _quad_refine_grids(kp_map)
+        kp_score_map = max_pool2d(kp_map, 3, stride)
+    elif not refine_sel:
         grids_org = gen_grid(
             -1, 1, -1, 1, H, W, dtype=kp_map.dtype
         ).reshape(1, H, W, 2)

@@ -196,3 +196,78 @@ def test_two_image_detectors_jit(rng):
     g1, g2, gs1, gs2 = f2(outputs, jax.random.PRNGKey(2))
     assert g1.shape == (1, 32, 2)
     assert np.isfinite(np.asarray(g1)).all()
+
+
+def _detect_px(kp_map, n, refine):
+    """Run the detector and return pixel-space keypoints sorted by score."""
+    kps, score, valid = generate_kpts_single(
+        kp_map, num_pts=n, nms_radius=2, use_nms=True, refine=refine
+    )
+    _, H, W, _ = kp_map.shape
+    k = np.asarray(kps)[0]
+    return np.stack(
+        [(k[:, 0] + 1) * (W - 1) / 2, (k[:, 1] + 1) * (H - 1) / 2], axis=-1
+    )
+
+
+def test_quad_refine_recovers_subpixel_peaks():
+    """refine='quad' (Taylor peak fit) localizes known sub-pixel Gaussian
+    peaks markedly better than the reference 3x3 center-of-mass ('avg3'),
+    which biases toward the discrete argmax on a peaky map."""
+    H, W = 48, 64
+    peaks = [(20.3, 31.7), (10.6, 12.2), (35.2, 50.8), (40.45, 8.75)]
+    yy, xx = np.mgrid[0:H, 0:W]
+    m = np.zeros((H, W), np.float32)
+    for py, px in peaks:
+        m += np.exp(-((yy - py) ** 2 + (xx - px) ** 2) / (2 * 1.5**2))
+    kp_map = jnp.asarray(m[None, :, :, None] + 0.01)
+
+    errs = {}
+    for refine in ("avg3", "quad"):
+        det = _detect_px(kp_map, len(peaks), refine)
+        e = []
+        for py, px in peaks:
+            d = np.hypot(det[:, 0] - px, det[:, 1] - py)
+            e.append(d.min())
+        errs[refine] = float(np.mean(e))
+    assert errs["quad"] < 0.12, errs
+    assert errs["quad"] < 0.5 * errs["avg3"], errs
+
+
+def test_quad_refine_degenerate_maps_finite():
+    """Flat and single-spike maps must not produce NaN offsets; the
+    ill-conditioned-Hessian guard zeroes the offset instead."""
+    for m in (
+        np.ones((1, 32, 32, 1), np.float32),
+        np.zeros((1, 32, 32, 1), np.float32),
+    ):
+        mm = m.copy()
+        mm[0, 16, 16, 0] = 5.0
+        kps, score, valid = generate_kpts_single(
+            jnp.asarray(mm), num_pts=16, nms_radius=1, use_nms=True,
+            refine="quad",
+        )
+        assert np.isfinite(np.asarray(kps)).all()
+        assert np.isfinite(np.asarray(score)).all()
+
+
+def test_quad_refine_contract_matches_avg3():
+    """Same slate shapes, identical selection order, identical 3x3-max
+    scores and valid counts — only the sub-pixel coordinates differ, and
+    by at most one pixel in each axis."""
+    r = np.random.RandomState(3)
+    kp_map = jnp.asarray((r.rand(2, 60, 76, 1) + 0.01).astype(np.float32))
+    kw = dict(num_pts=200, nms_radius=1, use_nms=True)
+    kps_a, score_a, valid_a = generate_kpts_single(kp_map, refine="avg3", **kw)
+    kps_q, score_q, valid_q = generate_kpts_single(kp_map, refine="quad", **kw)
+    assert kps_q.shape == kps_a.shape and score_q.shape == score_a.shape
+    np.testing.assert_array_equal(np.asarray(valid_q), np.asarray(valid_a))
+    n = int(np.asarray(valid_a).min())
+    np.testing.assert_allclose(
+        np.asarray(score_q)[:, :n], np.asarray(score_a)[:, :n],
+        rtol=1e-5, atol=1e-6,
+    )
+    # both refinements stay within the same 3x3 window of the argmax
+    d = np.abs(np.asarray(kps_q)[:, :n] - np.asarray(kps_a)[:, :n])
+    assert d[..., 0].max() * (76 - 1) / 2 <= 1.0 + 1e-5
+    assert d[..., 1].max() * (60 - 1) / 2 <= 1.0 + 1e-5
