@@ -120,8 +120,31 @@ class DiskLoss:
             return "interpret" if eligible else False
         return eligible and jax.default_backend() == "tpu"
 
+    def _reward_config(self, epoch) -> Dict[str, Any]:
+        """Per-epoch reward config with optional threshold annealing.
+
+        ``reward_thr_final`` + ``reward_anneal_epochs`` linearly anneal
+        the epipolar reward threshold from ``reward_thr`` (epoch 1) to
+        ``reward_thr_final`` (epoch >= 1 + reward_anneal_epochs). The
+        stage-2 sweeps measured a ~1 px optimum for the fixed threshold
+        (PROOFS.md: rt1 0.799 vs rt2 0.768 vs rt05 0.551 — 0.5 px
+        starves REINFORCE from scratch); the curriculum lets training
+        start with the permissive threshold and finish with a tighter
+        one than is trainable from scratch. ``epoch`` is static per
+        jitted step (trainer._build_step), so this is trace-time math.
+        """
+        rcfg = dict(self.config["reward_config"])
+        thr_final = rcfg.pop("reward_thr_final", None)
+        anneal = rcfg.pop("reward_anneal_epochs", 0)
+        if thr_final is not None and anneal:
+            frac = min(max(epoch - 1, 0) / float(anneal), 1.0)
+            base = rcfg["reward_thr"]
+            rcfg["reward_thr"] = base + (thr_final - base) * frac
+        return rcfg
+
     def _pallas_loss(self, inputs, feat1, feat2, coord1, coord2,
-                     logp1, logp2, accept1, accept2, temperature):
+                     logp1, logp2, accept1, accept2, temperature,
+                     reward_thr):
         """Loss via ops/pallas/reinforce.py streaming reduction."""
         from ..ops.pallas.reinforce import reinforce_reduction
         from ..ops.coords import homogenize
@@ -150,7 +173,7 @@ class DiskLoss:
             feat1, feat2, line1, c2h, line2, c1h,
             accept1.reshape(b, -1), accept2.reshape(b, -1),
             temperature=float(temperature),
-            thr=float(self.config["reward_config"]["reward_thr"]),
+            thr=float(reward_thr),
             good_reward=float(self.good_reward),
             bad_reward=float(self.bad_reward),
             interpret=interpret,
@@ -184,6 +207,7 @@ class DiskLoss:
             "n_kps": (a1.sum(-1) + a2.sum(-1)).astype(jnp.float32).mean(),
             "n_pairs": p_sum.mean(),
             "temperature": jnp.asarray(temperature, jnp.float32),
+            "reward_thr": jnp.asarray(reward_thr, jnp.float32),
         }
         return loss, components
 
@@ -195,6 +219,7 @@ class DiskLoss:
         b = xf1.shape[0]
         H, W = kp_map1.shape[1:3]
         temperature = min(self.t_base + outputs["epoch"], self.t_max)
+        rcfg = self._reward_config(outputs["epoch"])
         cos = self.config["loss_distance"] == "cos"
 
         k1, k2 = jax.random.split(key)
@@ -212,6 +237,7 @@ class DiskLoss:
             return self._pallas_loss(
                 inputs, feat1, feat2, coord1, coord2,
                 logp1, logp2, accept1, accept2, temperature,
+                rcfg["reward_thr"],
             )
 
         costs = 1 - _bmm(feat1, feat2)  # [B, m, n] in [0, 2]
@@ -231,9 +257,7 @@ class DiskLoss:
         )
 
         reward_fn = getattr(self, self.reward_name)
-        reward, scale1, scale2 = reward_fn(
-            inputs, coord1, coord2, **self.config["reward_config"]
-        )
+        reward, scale1, scale2 = reward_fn(inputs, coord1, coord2, **rcfg)
 
         logp1f = logp1.reshape(b, -1)
         logp2f = logp2.reshape(b, -1)
@@ -265,5 +289,6 @@ class DiskLoss:
             "n_kps": (a1.sum(-1) + a2.sum(-1)).astype(jnp.float32).mean(),
             "n_pairs": sp.sum((-1, -2)).mean(),
             "temperature": jnp.asarray(temperature, jnp.float32),
+            "reward_thr": jnp.asarray(rcfg["reward_thr"], jnp.float32),
         }
         return loss, components

@@ -126,3 +126,55 @@ def test_diskloss_pallas_matches_xla(rng):
             float(comps_pal[k]), float(comps_ref[k]), rtol=2e-4, atol=1e-6,
             err_msg=k,
         )
+
+
+def test_reward_thr_annealing(rng):
+    """reward_thr_final + reward_anneal_epochs linearly anneal the
+    epipolar reward threshold per (static) epoch, identically in the
+    XLA and Pallas formulations; the effective value is reported in the
+    loss components."""
+    B, H, W, C = 1, 16, 16, 8
+    kp1 = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32))
+    kp2 = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32))
+    xf1 = jnp.asarray(rng.randn(B, H // 4, W // 4, C).astype(np.float32))
+    xf2 = jnp.asarray(rng.randn(B, H // 4, W // 4, C).astype(np.float32))
+    F = jnp.asarray(rand_fundamental(rng, B))
+    inputs = {"F1": F, "F2": jnp.transpose(F, (0, 2, 1))}
+    key = jax.random.PRNGKey(0)
+
+    def run(kind, epoch):
+        loss_mod = _disk_setup(rng, kind)
+        loss_mod.config["reward_config"] = {
+            "reward_thr": 2, "rescale_thr": False,
+            "reward_thr_final": 0.5, "reward_anneal_epochs": 3,
+        }
+        outputs = {
+            "preds1": {"local_point": kp1, "local_map": xf1},
+            "preds2": {"local_point": kp2, "local_map": xf2},
+            "epoch": epoch,
+        }
+        return loss_mod(inputs, outputs, None, key=key)
+
+    # epoch 1 -> base, epoch 2/3 interpolate, epoch >= 4 -> final
+    for epoch, want in [(1, 2.0), (2, 1.5), (3, 1.0), (4, 0.5), (9, 0.5)]:
+        _, comps = run(False, epoch)
+        np.testing.assert_allclose(float(comps["reward_thr"]), want)
+
+    # Pallas path consumes the same annealed threshold and agrees on loss
+    for epoch in (1, 4):
+        l_ref, c_ref = run(False, epoch)
+        l_pal, c_pal = run("interpret", epoch)
+        np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            float(c_pal["reward_thr"]), float(c_ref["reward_thr"])
+        )
+
+    # without the anneal keys the threshold stays fixed (back-compat)
+    loss_mod = _disk_setup(rng, False)
+    outputs = {
+        "preds1": {"local_point": kp1, "local_map": xf1},
+        "preds2": {"local_point": kp2, "local_map": xf2},
+        "epoch": 7,
+    }
+    _, comps = loss_mod(inputs, outputs, None, key=key)
+    np.testing.assert_allclose(float(comps["reward_thr"]), 2.0)

@@ -35,7 +35,8 @@ from convergence_experiment import (  # noqa: E402
     train_config,
 )
 
-# name -> (epochs, steps/epoch, lr, decay_at_epoch, reward_thr, kp_penalty)
+# name -> (epochs, steps/epoch, lr, decay_at_epoch, reward_thr, kp_penalty
+#          [, reward_thr_final, reward_anneal_epochs])
 VARIANTS = {
     # double the hot5x200 budget; decay 0.1 at 80% like the reference's
     # 5-epoch/decay-at-4 shape
@@ -54,10 +55,18 @@ VARIANTS = {
     # tightening past 1 px keep sharpening the ranking, or starve the
     # reward (few <0.5px-consistent pairs early in training)?
     "rt05": (5, 200, 5e-3, 4, 0.5, -0.001),
+    # curriculum probes (losses/disk_loss.py reward annealing): rt05
+    # showed 0.5 px starves REINFORCE from scratch, but a detector that
+    # ALREADY ranks well under a permissive reward may keep sharpening
+    # when the threshold tightens late — start at the known-good band
+    # and anneal into the starved one
+    "a1to05": (10, 200, 5e-3, 8, 1, -0.001, 0.5, 8),
+    "a2to05": (10, 200, 5e-3, 8, 2, -0.001, 0.5, 8),
 }
 
 
-def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen):
+def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
+              thr_final=None, anneal_epochs=0):
     cfg = copy.deepcopy(train_config(work, "kp", steps, load_path=ck1))
     cfg["checkpoint_name"] = f"kp_{name}"
     cfg["epoch"] = epochs
@@ -65,6 +74,11 @@ def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen):
     cfg["lr_decay_step"] = decay_at
     cfg["lr_decay_factor"] = 0.1
     cfg["DiskLoss_config"]["reward_config"]["reward_thr"] = rthr
+    if thr_final is not None:
+        cfg["DiskLoss_config"]["reward_config"]["reward_thr_final"] = thr_final
+        cfg["DiskLoss_config"]["reward_config"]["reward_anneal_epochs"] = (
+            anneal_epochs
+        )
     cfg["DiskLoss_config"]["kp_penalty"] = kpen
     return cfg
 
@@ -92,14 +106,16 @@ def main():
 
     results = {"sift_arm": sift3}
     for name in args.variants.split(","):
-        epochs, steps, lr, decay_at, rthr, kpen = VARIANTS[name]
+        epochs, steps, lr, decay_at, rthr, kpen, *anneal = VARIANTS[name]
         cfg = kp_config(work, name, args.ckpt1, epochs, steps, lr,
-                        decay_at, rthr, kpen)
+                        decay_at, rthr, kpen, *anneal)
         Trainer(cfg, ckpt_root=os.path.join(work, "ckpts")).train()
         ck2 = os.path.join(work, "ckpts", f"kp_{name}", f"{epochs:03d}")
         rec = {"variant": name, "epochs": epochs, "steps": steps, "lr": lr,
                "reward_thr": rthr, "kp_penalty": kpen,
                "sift_arm_mma3": round(sift3, 4)}
+        if anneal:
+            rec["reward_thr_final"], rec["reward_anneal_epochs"] = anneal
         for n_pts in (128, 256):
             m3, _ = extract_and_mma(
                 f"{name}_n{n_pts}", data_root, work, ck2, num_pts=n_pts
