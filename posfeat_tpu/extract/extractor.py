@@ -160,6 +160,10 @@ class Extractor:
             std = jnp.asarray(IMAGENET_STD)
 
             out_dt = self.model.dtype
+            # vis runs also fetch the raw score map (reference
+            # extractor.py:211-252 dumps it); config is fixed per
+            # Extractor instance so the traced program is consistent
+            want_map = bool(self.config.get("output_img"))
 
             def run(variables, im_u8):
                 im = (im_u8.astype(jnp.float32) / 255.0 - mean) / std
@@ -175,6 +179,8 @@ class Extractor:
                 # *accumulation* the default removes, not storage.
                 feat = feat.astype(out_dt)
                 coords = denormalize_coords(coord_n, H, W)
+                if want_map:
+                    return coords, score, feat, valid, outputs["local_point"]
                 return coords, score, feat, valid
 
             self._jit_cache[key] = jax.jit(run)
@@ -220,20 +226,24 @@ class Extractor:
         det_cfg_key = self._det_cfg_key(inputs)
         im_u8 = jnp.asarray(np.asarray(inputs["im1_ori"], np.uint8))[None]
         H, W = im_u8.shape[1:3]
-        coords, score, feat, valid = self._learned_fn((H, W), det_cfg_key)(
-            self.variables, im_u8
-        )
+        out = self._learned_fn((H, W), det_cfg_key)(self.variables, im_u8)
+        coords, score, feat, valid = out[:4]
         # reference dynamic count: max(min(num_pts, valid), 128) (putils:249-261)
         num_pts = self.config[det_cfg_key]["num_pts"]
         n_emit = int(max(min(num_pts, int(valid[0])), 128))
         # cast: under compute_dtype=bfloat16 the device arrays are bf16,
         # which numpy can only represent as opaque void16 — the npz/h5
         # feature-file contract (and every downstream consumer) is f32
-        return {
+        processed = {
             "kpt": np.asarray(coords[0, :n_emit]).astype(np.float32),
             "desc": np.asarray(feat[0, :n_emit]).astype(np.float32),
             "kp_score": np.asarray(score[0, :n_emit]).astype(np.float32),
         }
+        if len(out) > 4:
+            processed["score_map"] = np.asarray(out[4][0, ..., 0]).astype(
+                np.float32
+            )
+        return processed
 
     # ----------------------------------------------------------- writers
 
@@ -302,7 +312,7 @@ class Extractor:
                 cv2.applyColorMap(vis, cv2.COLORMAP_JET),
             )
 
-        im = inputs["im1_ori"].copy()
+        im = np.ascontiguousarray(np.asarray(inputs["im1_ori"], np.uint8))
         for kp in processed["kpt"]:
             cv2.circle(im, (int(kp[0]), int(kp[1])), 2, (0, 255, 0), -1)
         cv2.imwrite(
@@ -430,7 +440,9 @@ class Extractor:
             # bytes over the host<->device link
             t0 = time.perf_counter()
             with io_lock:
-                coords, score, feat, valid = [np.asarray(o) for o in out]
+                arrs = [np.asarray(o) for o in out]
+            coords, score, feat, valid = arrs[:4]
+            smap = arrs[4] if len(arrs) > 4 else None
             t1 = time.perf_counter()
             t_add("fetch", t1 - t0)
             coords = coords.astype(np.float32)
@@ -446,6 +458,8 @@ class Extractor:
                     "desc": feat[j, :n_emit],
                     "kp_score": score[j, :n_emit],
                 }
+                if smap is not None:
+                    processed["score_map"] = smap[j, ..., 0].astype(np.float32)
                 write_futs.append(
                     write_pool.submit(write_one, inputs, processed, n_emit)
                 )

@@ -567,3 +567,46 @@ def test_h5_hloc_writer_layout(tmp_path):
     assert sorted(got) == sorted(want), (sorted(got), sorted(want))
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_output_img_dumps(tmp_path):
+    """output_img: True writes the keypoint-overlay and score-map images
+    (reference extractor.py:211-252 — broken there: undefined variables;
+    working here) through the batched pipeline."""
+    from posfeat_tpu.extract import Extractor
+
+    data_root = str(tmp_path / "hp")
+    os.makedirs(data_root)
+    make_mini_hpatches(data_root, n_seq=1, n_img=2)
+
+    config = {
+        "output_root": "hp/vis_smoke",
+        "postfix": "v",
+        "load_path": None,
+        "loss_distance": "cos",
+        "output_desc": True,
+        "output_img": True,
+        "model": "PoSFeat",
+        "model_config": MODEL_CONFIG,
+        "data": "HPatch_SIFT",
+        "data_config_extract": {"data_path": data_root, "batch_size": 2, "workers": 2},
+        "local_thr": 0.99,
+        "use_sift": False,
+        "detector": "generate_kpts_single",
+        "detector_config": {
+            "num_pts": 128,
+            "stable": True,
+            "use_nms": True,
+            "nms_radius": 1,
+            "thr": False,
+        },
+    }
+    ex = Extractor(config, ckpt_root=str(tmp_path / "ckpts"))
+    ex.extract()
+    img_root = tmp_path / "ckpts/hp/vis_smoke/image/i_fake0"
+    for base in ("1", "2"):
+        assert (img_root / f"{base}_image_with_kp.jpg").exists()
+        assert (img_root / f"{base}_score_map.jpg").exists()
+    # the npz contract is unaffected by the extra vis fetch
+    f = np.load(str(tmp_path / "ckpts/hp/vis_smoke/desc/i_fake0/1.ppm.v"))
+    assert set(f.files) == {"keypoints", "scores", "descriptors"}
