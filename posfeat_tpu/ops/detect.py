@@ -164,8 +164,46 @@ def generate_kpts_single(
         and stride == 1
         and stable
     )
+    refine_sep = (
+        not refine_quad
+        and os.environ.get("POSFEAT_REFINE", "pool") == "sep"
+        and stride == 1
+    )
     if refine_quad:
         grids = _quad_refine_grids(kp_map)
+        kp_score_map = max_pool2d(kp_map, 3, stride)
+    elif refine_sep:
+        # Separable reformulation of the 3×3 center-of-mass: the grid
+        # coordinate is affine per row/column, so
+        #   Σ_w s·x = x_c·Σ_w s + Δx·(colsum_{c+1} − colsum_{c−1})
+        # which needs only 1-channel 1-D window sums + fusable shifts —
+        # no [B,H,W,2] score×grid product is materialized and the 2-ch
+        # window pool disappears (the 'pool' path's HBM cost). Exact up
+        # to fp reassociation; POSFEAT_REFINE=sep, device A/B gated.
+        from jax import lax
+
+        s = kp_map[..., 0]  # [B, H, W]
+        one = jnp.asarray(0, s.dtype)
+        vsum = lax.reduce_window(
+            s, one, lax.add, (1, 3, 1), (1, 1, 1), "VALID"
+        )  # [B, H-2, W]   vertical 3-sum
+        hsum = lax.reduce_window(
+            s, one, lax.add, (1, 1, 3), (1, 1, 1), "VALID"
+        )  # [B, H, W-2]   horizontal 3-sum
+        ssum = lax.reduce_window(
+            vsum, one, lax.add, (1, 1, 3), (1, 1, 1), "VALID"
+        )  # [B, H-2, W-2] full 3×3 sum
+        dxc = jnp.asarray(2.0 / (W - 1), s.dtype)
+        dyc = jnp.asarray(2.0 / (H - 1), s.dtype)
+        xs = (-1.0 + 2.0 * jnp.arange(1, W - 1) / (W - 1)).astype(s.dtype)
+        ys = (-1.0 + 2.0 * jnp.arange(1, H - 1) / (H - 1)).astype(s.dtype)
+        num_x = xs[None, None, :] * ssum + dxc * (
+            vsum[:, :, 2:] - vsum[:, :, :-2]
+        )
+        num_y = ys[None, :, None] * ssum + dyc * (
+            hsum[:, 2:, :] - hsum[:, :-2, :]
+        )
+        grids = jnp.stack([num_x / ssum, num_y / ssum], axis=-1)
         kp_score_map = max_pool2d(kp_map, 3, stride)
     elif not refine_sel:
         grids_org = gen_grid(

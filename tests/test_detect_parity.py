@@ -95,17 +95,19 @@ def test_generate_kpts_single_parity(rng, thr):
     )
 
 
+@pytest.mark.parametrize("impl", ["sel", "sep"])
 @pytest.mark.parametrize(
     "thr,use_nms",
     # use_nms=True exercises the block-fold top-k decode; use_nms=False
     # exercises the direct top-k index path
     [(False, True), (0.9, True), (False, False)],
 )
-def test_refine_sel_matches_pooled(rng, monkeypatch, thr, use_nms):
+def test_refine_impls_match_pooled(rng, monkeypatch, thr, use_nms, impl):
     """POSFEAT_REFINE=sel (per-point 3x3 refinement from gathered
-    neighbors) must reproduce the pooled-map formulation exactly — the
-    grid is affine in the pixel index, so the weighted-average identity
-    is algebraic, not approximate."""
+    neighbors) and =sep (separable 1-D window sums) must reproduce the
+    pooled-map formulation — the grid is affine in the pixel index, so
+    the weighted-average identities are algebraic, not approximate
+    (up to fp reassociation for 'sep')."""
     import jax
 
     kp_map = jnp.asarray((rng.rand(2, 60, 76, 1) + 0.01).astype(np.float32))
@@ -115,7 +117,7 @@ def test_refine_sel_matches_pooled(rng, monkeypatch, thr, use_nms):
     monkeypatch.setenv("POSFEAT_REFINE", "pool")
     f = jax.jit(lambda m: generate_kpts_single(m, **kw))
     kps0, score0, valid0 = f(kp_map)
-    monkeypatch.setenv("POSFEAT_REFINE", "sel")
+    monkeypatch.setenv("POSFEAT_REFINE", impl)
     g = jax.jit(lambda m: generate_kpts_single(m, **kw))
     kps1, score1, valid1 = g(kp_map)
     n = int(np.asarray(valid0).min())
