@@ -62,6 +62,11 @@ VARIANTS = {
     # and anneal into the starved one
     "a1to05": (10, 200, 5e-3, 8, 1, -0.001, 0.5, 8),
     "a2to05": (10, 200, 5e-3, 8, 2, -0.001, 0.5, 8),
+    # sweep-3 readout: a2to05 (0.8095) beat every fixed threshold while
+    # a1to05 (0.780) lost to fixed rt1 — the curriculum must START
+    # permissive. The missing cell: end AT the measured 1 px optimum
+    # instead of past it.
+    "a2to1": (10, 200, 5e-3, 8, 2, -0.001, 1, 8),
 }
 
 
@@ -121,6 +126,13 @@ def main():
                 f"{name}_n{n_pts}", data_root, work, ck2, num_pts=n_pts
             )
             rec[f"mma3_n{n_pts}"] = round(m3, 4)
+        # Taylor sub-pixel refinement arm (ops/detect.py refine='quad'):
+        # same checkpoint/selection, sharper eval-time localization
+        m3q, _ = extract_and_mma(
+            f"{name}_n128_quad", data_root, work, ck2, num_pts=128,
+            detector_extra={"refine": "quad"},
+        )
+        rec["mma3_n128_quad"] = round(m3q, 4)
         print(json.dumps(rec), flush=True)
         results[name] = rec
     return results
