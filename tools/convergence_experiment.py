@@ -227,11 +227,12 @@ def train_config(root, stage, steps, load_path=None):
 
 
 def extract_and_mma(tag, data_root, work, load_path, use_sift=False,
-                    num_pts=512):
+                    num_pts=512, detector_extra=None):
     """use_sift=True is the reference's stage-1 val protocol
     (train_desc.yaml val detector 'sift'): fixed OpenCV-SIFT keypoints +
     our descriptors, isolating descriptor quality from the (untrained in
-    stage 1) score head."""
+    stage 1) score head. detector_extra merges extra detector_config
+    keys (e.g. {'refine': 'quad'} for the Taylor sub-pixel estimator)."""
     from posfeat_tpu.extract import Extractor
     from posfeat_tpu.evals import hpatches as hp
 
@@ -259,6 +260,7 @@ def extract_and_mma(tag, data_root, work, load_path, use_sift=False,
             "use_nms": True,
             "nms_radius": 1,
             "thr": False,
+            **(detector_extra or {}),
         },
     }
     Extractor(cfg, ckpt_root=os.path.join(work, "ckpts")).extract()
