@@ -265,7 +265,8 @@ def main():
     # default sweep = the two certified lite configs (the shipping gate
     # set; 255-259 im/s with ΔMMA −0.0005, PROOFS.md 2026-08-19). The
     # ship (split3) margin variants are already device-measured
-    # (155/171 im/s) and stay selectable — each skipped config saves
+    # (189.4/193.3 im/s, RUNBOOK_EVIDENCE step 96 final-tree dress
+    # rehearsal) and stay selectable — each skipped config saves
     # the driver's capture a ~5-12 min cold-cache remote compile.
     default_skip = {
         "1:f32", "1:bf16", "16:f32", "16:bf16", "32:bf16", "64:bf16",

@@ -21,7 +21,6 @@ from typing import Tuple
 TRACE_KNOBS = (
     "POSFEAT_TOPK",
     "POSFEAT_TOPK_RECALL",
-    "POSFEAT_REFINE",
     "POSFEAT_SAMPLE_IMPL",
     "POSFEAT_SAMPLE_F32",
     "POSFEAT_DESC_F32",
@@ -33,7 +32,6 @@ TRACE_KNOBS = (
     "POSFEAT_HEAD_RING",
     "POSFEAT_HEAD_T1",
     "POSFEAT_HEAD_T2",
-    "POSFEAT_HEAD_ZT",
     "POSFEAT_HEAD_TRIPLE",
 )
 

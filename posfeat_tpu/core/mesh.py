@@ -17,6 +17,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_MULTIHOST_INIT = False
+
+
+def init_multihost(cfg) -> int:
+    """`jax.distributed.initialize` from a config block — the DCN analog
+    of the reference's `torch.distributed.init_process_group` (reference
+    trainer.py:152-173, env:// NCCL). Must run before the first backend
+    query.
+
+    cfg keys (all optional — absent keys fall back to jax's own
+    auto-detection from the cluster environment, e.g. TPU pod metadata):
+      coordinator_address: "host:port" of process 0
+      num_processes:       world size
+      process_id:          this process's rank
+      local_device_ids:    devices this process owns (CPU testing)
+
+    Returns this process's index. Idempotent."""
+    global _MULTIHOST_INIT
+    if _MULTIHOST_INIT:
+        return jax.process_index()
+    kwargs = {}
+    for key in (
+        "coordinator_address", "num_processes", "process_id",
+        "local_device_ids",
+    ):
+        if cfg.get(key) is not None:
+            kwargs[key] = cfg[key]
+    jax.distributed.initialize(**kwargs)
+    _MULTIHOST_INIT = True
+    return jax.process_index()
+
+
 def data_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices), ("data",))
@@ -31,12 +63,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Device-put array leaves with the batch axis sharded over `data`."""
+    """Device-put array leaves with the batch axis sharded over `data`.
+
+    On a multi-process (DCN) mesh each process passes only its LOCAL
+    slice of the global batch (the DistributedSampler analog: the
+    loader shards indices per process) and the global array is
+    assembled from the addressable shards without any cross-host data
+    movement."""
     bs = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(x):
         if isinstance(x, (str, list, tuple)):
             return x
-        return jax.device_put(np.asarray(x), bs)
+        x = np.asarray(x)
+        if multiproc:
+            return jax.make_array_from_process_local_data(bs, x)
+        return jax.device_put(x, bs)
 
     return {k: put(v) for k, v in batch.items()}

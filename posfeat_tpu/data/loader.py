@@ -54,6 +54,8 @@ class PrefetchLoader:
         seed: int = 0,
         infinite: bool = False,
         drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,15 +65,21 @@ class PrefetchLoader:
         self.seed = seed
         self.infinite = infinite
         self.drop_last = drop_last
+        self.num_shards = max(1, num_shards)
+        self.shard_index = shard_index
 
     def _index_stream(self) -> Iterator[int]:
+        """num_shards/shard_index: every process shuffles the SAME
+        permutation (shared seed) and strides into it — the
+        DistributedSampler analog (reference trainer.py:128-131) for
+        multi-host training; each host sees a disjoint index subset."""
         epoch = 0
         n = len(self.dataset)
         while True:
             idx = np.arange(n)
             if self.shuffle:
                 np.random.RandomState(self.seed + epoch).shuffle(idx)
-            yield from idx.tolist()
+            yield from idx[self.shard_index :: self.num_shards].tolist()
             epoch += 1
             if not self.infinite:
                 return

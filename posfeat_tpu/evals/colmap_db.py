@@ -82,7 +82,9 @@ def import_keypoints(
                 [kpts, np.ones((n, 1)), np.zeros((n, 1))], axis=1
             ).astype(np.float32)
         else:
-            kpts = kpts.astype(kpts.dtype)
+            # COLMAP reads keypoint blobs as float32; extractor npz files
+            # are f32 already but cast defensively for foreign features
+            kpts = kpts.astype(np.float32)
         cur.execute(
             "INSERT INTO keypoints(image_id, rows, cols, data) VALUES(?, ?, ?, ?);",
             (image_id, kpts.shape[0], kpts.shape[1], kpts.tobytes()),

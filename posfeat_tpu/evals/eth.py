@@ -55,15 +55,14 @@ def import_features_and_match(configs, paths):
             paths.features_path, f"{name}.{configs['method_postfix']}"
         )
 
-    for name, image_id in images.items():
-        f = np.load(feat_path(name))
-        kpts = f["keypoints"][:, :2]
-        assert kpts.shape[0] == f["descriptors"].shape[0]
-        cur.execute(
-            "INSERT INTO keypoints(image_id, rows, cols, data) VALUES(?, ?, ?, ?);",
-            (image_id, kpts.shape[0], kpts.shape[1], kpts.tobytes()),
-        )
-    conn.commit()
+    cur.close()
+    conn.close()
+    # raw 2-col layout, reference reconstruction_pipeline.py:82-96
+    cdb.import_keypoints(
+        paths.database_path, images, feat_path, with_scale_ori=False
+    )
+    conn = sqlite3.connect(paths.database_path)
+    cur = conn.cursor()
 
     matcher = MATCHERS[configs["matcher"]]
     mcfg = configs.get("matcher_config") or {}

@@ -65,6 +65,27 @@ class Extractor:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             self.config.get("compute_dtype", "float32")
         ]
+        # One documented config path to the certified fast recipe
+        # (VERDICT r3 item 5): requesting bf16 extraction on TPU applies
+        # the device-certified lite gate set (255-259 im/s at ΔMMA@3
+        # −0.0005, PROOFS.md "Device-certified") by default — the same
+        # values POSFEAT_FAST=1 sets. `fast_mode: False` opts out;
+        # explicitly-set env knobs always win (setdefault), and
+        # trace_knob_key() keeps jit caches consistent with the
+        # resolved values. f32 extraction never applies gates: it is
+        # the exact reference-parity mode.
+        if (
+            dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and self.config.get("fast_mode", True)
+        ):
+            for _k, _v in (
+                ("POSFEAT_SAMPLE_IMPL", "pair"),
+                ("POSFEAT_TOPK", "approx"),
+                ("POSFEAT_HEAD_RING", "0"),
+                ("POSFEAT_HEAD_IM2COL", "1"),
+            ):
+                os.environ.setdefault(_k, _v)
         # extraction is forward-only, so bf16 runs on TPU default to the
         # fused Pallas head (fastest); head_dataflow overrides explicitly.
         # Resolved BEFORE the config.yaml dump so the persisted run config

@@ -320,7 +320,7 @@ def _skipconnect(x1, x2):
 
 
 TAIL_VARIANTS = (
-    "iconv2", "up2", "up2o", "upsamp", "upsamp3",
+    "iconv2", "up2",
     "split2", "split3", "split3w",
 )
 
@@ -330,7 +330,13 @@ def _tail_plan(tail: str, bf16: bool):
     plan for a backbone's LAST decoder handoff (the level descriptors
     form at): (split2, split_passes, up_f32, ic_f32, interp_f32).
     Raises on unknown names — a typo'd variant must not silently run
-    the plain bf16 tail while probes record it as active."""
+    the plain bf16 tail while probes record it as active.
+
+    The round-2 decomposition probes 'up2o', 'upsamp' and 'upsamp3'
+    (partial f32 cuts that all failed the 0.005 ΔMMA budget on the wide
+    fixture, ARCHITECTURE.md "Numerics") were retired in round 4; 'up2'
+    stays as the true-f32 gold tail the split variants are validated
+    against (split3 matches it to 8e-6, PROOFS.md)."""
     if tail and tail not in TAIL_VARIANTS:
         raise ValueError(
             f"unknown POSFEAT_DESC_TAIL_F32/desc_tail variant {tail!r}; "
@@ -338,9 +344,9 @@ def _tail_plan(tail: str, bf16: bool):
         )
     split2 = bf16 and tail in ("split2", "split3", "split3w")
     split_passes = 2 if tail == "split2" else 3
-    up_f32 = bf16 and tail in ("up2", "up2o")
+    up_f32 = bf16 and tail == "up2"
     ic_f32 = bf16 and tail in ("iconv2", "up2")
-    interp = split2 or (bf16 and tail in ("upsamp", "upsamp3"))
+    interp = split2
     return split2, split_passes, up_f32, ic_f32, interp
 
 
@@ -390,13 +396,8 @@ class ResUNet(nn.Module):
         # OPERANDS (not just f32 accumulation — the round-2 ΔMMA
         # decomposition showed the residual bf16 error is operand
         # rounding where descriptors form, ARCHITECTURE.md "Numerics").
-        #   'up2'    — upconv2 + iconv2 + conv_fine in f32
-        #   'up2o'   — upconv2 + conv_fine in f32, iconv2 bf16 (half
-        #              of up2's extra MXU work; decomposition probe)
-        #   'upsamp' — f32 bilinear-lerp arithmetic in upconv2 only,
-        #              all convs bf16 (zero MXU cost)
-        #   'upsamp3'— f32 lerp arithmetic in BOTH upconv3 and upconv2
-        #              (still zero MXU cost)
+        #   'up2'    — upconv2 + iconv2 + conv_fine in f32 (the gold
+        #              tail the split variants are validated against)
         #   'iconv2' — iconv2 + conv_fine in f32
         #   'split2' — f32 lerp + 2-pass activation-split convs for
         #              upconv2/iconv2 (+f32 conv_fine): the same operand
@@ -417,7 +418,7 @@ class ResUNet(nn.Module):
         wide = bf16 and tail == "split3w"
         y = UpConv(
             512, 3, 2, self.dtype, accum_f32=acc and not wide,
-            interp_f32=wide or (bf16 and tail == "upsamp3"),
+            interp_f32=wide,
             split2=wide, split_passes=3,
             name="upconv3",
         )(x3, train)
@@ -540,7 +541,6 @@ class ResUNetHR(nn.Module):
         bf16 = self.dtype == jnp.bfloat16
         y = UpConv(
             256, 3, 2, self.dtype, accum_f32=acc,
-            interp_f32=bf16 and tail == "upsamp3",
             name="upconv2",
         )(y, train)
         y = _skipconnect(y, x1)

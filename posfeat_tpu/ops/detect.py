@@ -143,69 +143,20 @@ def generate_kpts_single(
         else:
             count_src = nms_mask
 
-    # 3×3 score-weighted coordinate refinement (putils:242-247).
-    # Two exact-same-math formulations (jitted parity test pins
-    # agreement): 'pool' (default) pools three full-resolution 1-2
-    # channel maps densely then fetches 3 values per selected point;
-    # 'sel' gathers the 9 neighbor scores per selected point and
-    # refines only there. 'sel' looked lane-friendlier on paper but the
-    # v5e microbench (tools/bench_refine.py, 2026-08-19) measures the
-    # k*9-element gather at 1.08 ms/img vs 0.24 ms/img for the dense
-    # pools + 3-value fetch at B=16, k=8192 — TPU gathers are
-    # row-at-a-time; dense stride-1 reduce_windows ride the VPU.
-    # POSFEAT_REFINE=sel selects the gather formulation; stride != 1 or
-    # stable=False always use 'pool'.
-    import os
-
+    # 3×3 score-weighted coordinate refinement (putils:242-247), the
+    # 'pool' dataflow: pool three full-resolution 1-2 channel maps
+    # densely, then fetch 3 values per selected point. The per-point
+    # 9-neighbor-gather ('sel') and separable-window ('sep')
+    # formulations were measured and retired in rounds 2-3: the v5e
+    # microbench (tools/bench_refine.py, 2026-08-19) put the gather at
+    # 1.08 ms/img vs 0.24 for the dense pools (TPU gathers are
+    # row-at-a-time; stride-1 reduce_windows ride the VPU), and 'sep'
+    # A/B'd neutral because XLA already fuses the score×grid product.
     refine_quad = refine == "quad" and stride == 1
-    refine_sel = (
-        not refine_quad
-        and os.environ.get("POSFEAT_REFINE", "pool") == "sel"
-        and stride == 1
-        and stable
-    )
-    refine_sep = (
-        not refine_quad
-        and os.environ.get("POSFEAT_REFINE", "pool") == "sep"
-        and stride == 1
-    )
     if refine_quad:
         grids = _quad_refine_grids(kp_map)
         kp_score_map = max_pool2d(kp_map, 3, stride)
-    elif refine_sep:
-        # Separable reformulation of the 3×3 center-of-mass: the grid
-        # coordinate is affine per row/column, so
-        #   Σ_w s·x = x_c·Σ_w s + Δx·(colsum_{c+1} − colsum_{c−1})
-        # which needs only 1-channel 1-D window sums + fusable shifts —
-        # no [B,H,W,2] score×grid product is materialized and the 2-ch
-        # window pool disappears (the 'pool' path's HBM cost). Exact up
-        # to fp reassociation; POSFEAT_REFINE=sep, device A/B gated.
-        from jax import lax
-
-        s = kp_map[..., 0]  # [B, H, W]
-        one = jnp.asarray(0, s.dtype)
-        vsum = lax.reduce_window(
-            s, one, lax.add, (1, 3, 1), (1, 1, 1), "VALID"
-        )  # [B, H-2, W]   vertical 3-sum
-        hsum = lax.reduce_window(
-            s, one, lax.add, (1, 1, 3), (1, 1, 1), "VALID"
-        )  # [B, H, W-2]   horizontal 3-sum
-        ssum = lax.reduce_window(
-            vsum, one, lax.add, (1, 1, 3), (1, 1, 1), "VALID"
-        )  # [B, H-2, W-2] full 3×3 sum
-        dxc = jnp.asarray(2.0 / (W - 1), s.dtype)
-        dyc = jnp.asarray(2.0 / (H - 1), s.dtype)
-        xs = (-1.0 + 2.0 * jnp.arange(1, W - 1) / (W - 1)).astype(s.dtype)
-        ys = (-1.0 + 2.0 * jnp.arange(1, H - 1) / (H - 1)).astype(s.dtype)
-        num_x = xs[None, None, :] * ssum + dxc * (
-            vsum[:, :, 2:] - vsum[:, :, :-2]
-        )
-        num_y = ys[None, :, None] * ssum + dyc * (
-            hsum[:, 2:, :] - hsum[:, :-2, :]
-        )
-        grids = jnp.stack([num_x / ssum, num_y / ssum], axis=-1)
-        kp_score_map = max_pool2d(kp_map, 3, stride)
-    elif not refine_sel:
+    else:
         grids_org = gen_grid(
             -1, 1, -1, 1, H, W, dtype=kp_map.dtype
         ).reshape(1, H, W, 2)
@@ -253,39 +204,12 @@ def generate_kpts_single(
             # slate back to the static num_pts with zero-score entries
             k = min(num_pts, masked.shape[1])
             scores_sel, idx = _top_k(masked, k)
-        if refine_sel:
-            # window top-left of pool-output cell (r, c) is full-map
-            # (r, c); gather the 3×3 neighborhood scores per point
-            r = idx // w2
-            c = idx % w2
-            offs = (
-                jnp.arange(3)[:, None] * W + jnp.arange(3)[None, :]
-            ).reshape(-1)
-            idx9 = (r * W + c)[..., None] + offs[None, None, :]
-            # gather in the map's native dtype (a full-res f32 convert
-            # would cost more HBM traffic than this path saves), cast
-            # only the gathered [B, k, 3, 3] values for the arithmetic
-            flat = kp_map.reshape(B, H * W)
-            s9 = (
-                jnp.take_along_axis(flat, idx9.reshape(B, -1), axis=1)
-                .reshape(B, -1, 3, 3)
-                .astype(jnp.float32)
-            )
-            stot = s9.sum(axis=(2, 3))
-            jw = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
-            fx = (s9.sum(axis=2) @ jw) / stot  # in-window col offset
-            fy = (s9.sum(axis=3) @ jw) / stot
-            kx = -1.0 + 2.0 * (c.astype(jnp.float32) + fx) / (W - 1)
-            ky = -1.0 + 2.0 * (r.astype(jnp.float32) + fy) / (H - 1)
-            kps = jnp.stack([kx, ky], axis=-1).astype(kp_map.dtype)
-            kp_score = s9.max(axis=(2, 3))[..., None].astype(kp_map.dtype)
-        else:
-            kps = jnp.take_along_axis(
-                grids.reshape(B, -1, 2), idx[..., None], axis=1
-            )
-            kp_score = jnp.take_along_axis(
-                kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
-            )
+        kps = jnp.take_along_axis(
+            grids.reshape(B, -1, 2), idx[..., None], axis=1
+        )
+        kp_score = jnp.take_along_axis(
+            kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
+        )
         if k < num_pts:
             pad = num_pts - k
             kps = jnp.pad(kps, ((0, 0), (0, pad), (0, 0)))

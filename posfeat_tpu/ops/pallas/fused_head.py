@@ -83,7 +83,6 @@ def _conv_kernel(
     cin: int,
     cout: int,
     k: int,
-    zt: bool = False,
 ):
     """z = phase_conv(trunk) + z_img + b2 for one tile, plus IN partial
     moments. The trunk halo window is DMA'd HBM->VMEM with two buffers:
@@ -136,120 +135,8 @@ def _conv_kernel(
             )
 
     # image-branch: [k*th, k*tw, Cout] full-res block -> phase layout
-    zi = (zimg_ref[...] if zt else zimg_ref[0]).astype(jnp.float32)
+    zi = zimg_ref[0].astype(jnp.float32)
     zi = zi.reshape(th, k, tw, k, cout).transpose(0, 2, 1, 3, 4)
-    acc = acc + zi.reshape(m, kk * cout)
-    acc = acc + b2_ref[0][None, :]
-
-    z_ref[0] = acc.reshape(th, tw, kk * cout).astype(z_ref.dtype)
-    ssum_ref[0, 0] = jnp.sum(acc, axis=0)
-    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=0)
-
-
-def _conv_kernel_v2(
-    tp_hbm,  # [B, h+2, w+8+..., Cin_p]  (ANY/HBM; double-buffered halo DMA)
-    yp_hbm,  # [B, k*h+2, k*w+8, Cy] (ANY/HBM; zero-padded image feats)
-    kph_ref,  # [3, 3, Cin_p, KK*Cout] VMEM (grid-invariant)
-    wimg_ref,  # [3, 3, Cy, Cout] VMEM
-    b2_ref,  # [1, KK*Cout] VMEM
-    z_ref,  # out: [1, th, tw, KK*Cout]
-    ssum_ref,  # out: [1, 1, KK*Cout]  (flat tile index)
-    ssq_ref,  # out: [1, 1, KK*Cout]
-    scratch_tp,  # VMEM [2, th+2, tw+8, Cin_p]
-    scratch_y,  # VMEM [2, k*th+2, k*tw+8, Cy]
-    sems,  # DMA semaphores [2]
-    sems_y,  # DMA semaphores [2]
-    *,
-    th: int,
-    tw: int,
-    cin: int,
-    cout: int,
-    k: int,
-):
-    """Like _conv_kernel, but the image branch's 3x3 conv over the
-    (zero-padded) normalized image features runs IN the kernel instead of
-    consuming a precomputed full-resolution z_img: XLA's conv emits a
-    B-interleaved physical tiling that costs a full-res relayout to feed
-    Mosaic, and the z_img HBM round-trip is pure bandwidth (measured
-    ~1.1 ms/img of pad/concat/relayout fusions at bs=16 bf16 480x640).
-    The conv here is 9 MXU matmuls contracting Cy=64 — half-lane
-    contraction costs one extra half-used MXU pass per tap, far cheaper
-    than the XLA-side data movement it replaces."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    nty = pl.num_programs(1)
-    ntx = pl.num_programs(2)
-    kk = k * k
-    tw_al = scratch_tp.shape[2]
-    kth = k * th
-    ktw = k * tw
-    ytw_al = scratch_y.shape[2]
-    cy = scratch_y.shape[3]
-
-    step = (b * nty + i) * ntx + j
-    total = pl.num_programs(0) * nty * ntx
-
-    def dmas_for(s, slot):
-        bb = s // (nty * ntx)
-        rr = s % (nty * ntx)
-        ii = rr // ntx
-        jj = rr % ntx
-        return (
-            pltpu.make_async_copy(
-                tp_hbm.at[bb, pl.ds(ii * th, th + 2), pl.ds(jj * tw, tw_al), :],
-                scratch_tp.at[slot],
-                sems.at[slot],
-            ),
-            pltpu.make_async_copy(
-                yp_hbm.at[
-                    bb, pl.ds(ii * kth, kth + 2), pl.ds(jj * ktw, ytw_al), :
-                ],
-                scratch_y.at[slot],
-                sems_y.at[slot],
-            ),
-        )
-
-    @pl.when(step == 0)
-    def _():
-        for d in dmas_for(0, 0):
-            d.start()
-
-    @pl.when(step + 1 < total)
-    def _():
-        for d in dmas_for(step + 1, (step + 1) % 2):
-            d.start()
-
-    for d in dmas_for(step, step % 2):
-        d.wait()
-    tile = scratch_tp[step % 2]
-    tile_y = scratch_y[step % 2]
-
-    m = th * tw
-    acc = jnp.zeros((m, kk * cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            blk = tile[dy : dy + th, dx : dx + tw, :].reshape(m, cin)
-            acc = acc + jax.lax.dot_general(
-                blk,
-                kph_ref[dy, dx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-    # image branch: out[T, X] = sum_dy,dx K2img[dy,dx] . ypad[T+dy, X+dx]
-    mi = kth * ktw
-    zacc = jnp.zeros((mi, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            blk = tile_y[dy : dy + kth, dx : dx + ktw, :].reshape(mi, cy)
-            zacc = zacc + jax.lax.dot_general(
-                blk,
-                wimg_ref[dy, dx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    zi = zacc.reshape(th, k, tw, k, cout).transpose(0, 2, 1, 3, 4)
     acc = acc + zi.reshape(m, kk * cout)
     acc = acc + b2_ref[0][None, :]
 
@@ -557,28 +444,17 @@ def fused_head_tail(
     POSFEAT_HEAD_MODE selects the dataflow:
       v3 (default) — composite stride-4 image branch inside kernel 1
       v1 — XLA conv2img + full-res z_img operand
-      v2 — in-kernel image conv from a padded feature operand
-           (interpret-only: Mosaic rejects the 64-lane halo DMA)
+    (the interpret-only in-kernel-image-conv study 'v2' and the
+    transpose-bitcast 'zt' experiment were retired in round 4 — both
+    measured no-wins; see git history for the study code)
     """
     import os
 
     _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,32").split(",")
     _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,32").split(",")
     tiles = (int(_t1[0]), int(_t1[1]), int(_t2[0]), int(_t2[1]))
-    # zt (transpose-bitcast z_img, v1 only) is numerically exact but NOT
-    # a win: XLA replaces the relayout copy with an equally priced tiled
-    # reshape. Kept for experiments.
-    zt = os.environ.get("POSFEAT_HEAD_ZT", "0") == "1" and not interpret
     mode = os.environ.get("POSFEAT_HEAD_MODE", "v3")
-    assert mode in ("v1", "v2", "v3"), mode
-    if mode == "v2" and not interpret:
-        # v2's 64-lane halo DMA is rejected by Mosaic on real TPUs with
-        # an opaque compile error; it exists for interpret-mode study
-        # only. Fail loudly here instead.
-        raise ValueError(
-            "POSFEAT_HEAD_MODE=v2 is interpret-only (Mosaic rejects its "
-            "64-lane halo DMA on TPU); use v1 or v3 on hardware"
-        )
+    assert mode in ("v1", "v3"), mode
     tri = os.environ.get("POSFEAT_HEAD_TRIPLE", "0") == "1" and mode == "v3"
     # im2col: single-matmul trunk conv (9 shifted views lane-concatenated
     # with the TRUE 192-channel count). 2.22 vs 2.46 ms/img in the head
@@ -614,7 +490,7 @@ def fused_head_tail(
         trunk, img_s, img_y, img_mu, img_a, k1_img, b1_img,
         k2_trunk, k2_img, b2, w3, b3, prelu_a,
         act=act, k=k, eps=eps, interpret=interpret,
-        debug_intermediates=debug_intermediates, tiles=tiles, zt=zt,
+        debug_intermediates=debug_intermediates, tiles=tiles,
         mode=mode, tri=tri, im2col=im2col, ring=ring,
         score_f32=score_f32,
     )
@@ -623,7 +499,7 @@ def fused_head_tail(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "act", "k", "interpret", "debug_intermediates", "tiles", "zt",
+        "act", "k", "interpret", "debug_intermediates", "tiles",
         "mode", "tri", "im2col", "ring", "score_f32",
     ),
 )
@@ -647,7 +523,6 @@ def _fused_head_tail(
     interpret: bool = False,
     debug_intermediates: bool = False,
     tiles=(8, 32, 8, 32),
-    zt: bool = False,
     mode: str = "v3",
     tri: bool = False,
     im2col: bool = False,
@@ -757,19 +632,6 @@ def _fused_head_tail(
         if mode == "v3":
             trunk, P, Wm = with_layout_constraint(
                 (trunk, P, Wm), (canon4, canon4, Layout((0, 1, 2)))
-            )
-        elif mode == "v2":
-            trunk = with_layout_constraint(trunk, canon4)
-        elif zt:
-            # [B,Hf,Wf,C] in the conv-preferred {3,0,2,1} layout is
-            # bit-identical to canonical [Hf,Wf,B,C]; flatten (B,C) so
-            # the Mosaic block avoids a singleton dim (rejected as
-            # "layout with implicit dimension")
-            z_img = jnp.transpose(z_img, (1, 2, 0, 3)).reshape(
-                Hf, Wf, B * cout
-            )
-            trunk, z_img = with_layout_constraint(
-                (trunk, z_img), (canon4, Layout((0, 1, 2)))
             )
         else:
             trunk, z_img = with_layout_constraint(
@@ -899,79 +761,9 @@ def _fused_head_tail(
             ],
             interpret=interpret,
         )(tp, kph, P, Wm, b2b)
-    elif mode == "v2":
-        # zero-padded image features: ONE fused pad materialization (the
-        # IN-apply elementwise chain fuses into it); the kernel DMAs
-        # halo windows out of it directly. NOTE: Mosaic rejects the
-        # 64-lane halo DMA on real TPUs — interpret/testing only.
-        ktw = k * tw
-        yp = jnp.pad(
-            img_feat.astype(dt), ((0, 0), (1, 1), (1, 7), (0, 0))
-        )  # [B, Hf+2, Wf+8, cy]
-        wimg = k2_img.astype(dt)  # [3, 3, cy, cout]
-
-        kernel1 = functools.partial(
-            _conv_kernel_v2, th=th, tw=tw, cin=cin_p, cout=cout, k=k
-        )
-        z, ssum, ssq = pl.pallas_call(
-            kernel1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # tp (manual halo DMA)
-                pl.BlockSpec(memory_space=pl.ANY),  # yp (manual halo DMA)
-                pl.BlockSpec(
-                    (3, 3, cin_p, kk * cout),
-                    lambda b, i, j: (0, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (3, 3, cy, cout),
-                    lambda b, i, j: (0, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, kk * cout),
-                    lambda b, i, j: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, th, tw, kk * cout),
-                    lambda b, i, j: (b, i, j, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, kk * cout),
-                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, kk * cout),
-                    lambda b, i, j: ((b * nty + i) * ntx + j, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, h, w, kk * cout), dt),
-                jax.ShapeDtypeStruct(
-                    (B * nty * ntx, 1, kk * cout), jnp.float32
-                ),
-                jax.ShapeDtypeStruct(
-                    (B * nty * ntx, 1, kk * cout), jnp.float32
-                ),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, th + 2, tw + 8, cin_p), dt),
-                pltpu.VMEM((2, k * th + 2, ktw + 8, cy), dt),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            interpret=interpret,
-        )(tp, yp, kph, wimg, b2ph)
     else:
         kernel1 = functools.partial(
-            _conv_kernel, th=th, tw=tw, cin=cin_p, cout=cout, k=k, zt=zt
+            _conv_kernel, th=th, tw=tw, cin=cin_p, cout=cout, k=k
         )
         z, ssum, ssq = pl.pallas_call(
             kernel1,
@@ -984,12 +776,6 @@ def _fused_head_tail(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (k * th, k * tw, cout),
-                    lambda b, i, j: (i, j, b),
-                    memory_space=pltpu.VMEM,
-                )
-                if zt
-                else pl.BlockSpec(
                     (1, k * th, k * tw, cout),
                     lambda b, i, j: (b, i, j, 0),
                     memory_space=pltpu.VMEM,

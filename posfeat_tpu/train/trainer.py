@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from functools import partial
 from typing import Any, Dict
@@ -50,17 +51,30 @@ _DEVICE_KEYS = (
 
 class Trainer:
     def __init__(self, config, ckpt_root: str = "./ckpts", overwrite: bool = False):
+        if isinstance(config, str):
+            config = load_config(config)
+        # multi-host (DCN) training: jax.distributed.initialize must run
+        # before the first backend query. The reference's analog is the
+        # env:// NCCL process group (trainer.py:152-173); here one
+        # config block both wires the coordinator and switches the mesh
+        # below to the global device set.
+        if config.get("multihost"):
+            from ..core.mesh import init_multihost
+
+            init_multihost(config["multihost"])
+        self.process_id = jax.process_index()
+        self.num_processes = jax.process_count()
+
         from ..core.cache import enable_compilation_cache
 
         enable_compilation_cache()
-        if isinstance(config, str):
-            config = load_config(config)
         self.config = merge_from_checkpoint(config)
 
         self.save_root = os.path.join(ckpt_root, self.config["checkpoint_name"])
         self.resume = bool(self.config.get("resume", False))
         if (
-            os.path.exists(os.path.join(self.save_root, "config.yaml"))
+            self.process_id == 0
+            and os.path.exists(os.path.join(self.save_root, "config.yaml"))
             and not overwrite
             and not self.resume
         ):
@@ -70,25 +84,45 @@ class Trainer:
                 "set resume: True"
             )
         os.makedirs(self.save_root, exist_ok=True)
-        dump_config(self.config, os.path.join(self.save_root, "config.yaml"))
+        if self.process_id == 0:
+            dump_config(self.config, os.path.join(self.save_root, "config.yaml"))
+        log_name = (
+            "logging_file.txt" if self.process_id == 0
+            else f"logging_file.proc{self.process_id}.txt"
+        )
         self.logger = make_logger(
-            "trainer", os.path.join(self.save_root, "logging_file.txt")
+            "trainer", os.path.join(self.save_root, log_name)
         )
         self.metrics_path = os.path.join(self.save_root, "metrics.jsonl")
 
         # ----------------------------------------------------------- mesh
-        # use the largest device count that divides the batch (the
-        # reference's DistributedSampler analog: batch must split evenly;
-        # a 2-image batch on an 8-device host just uses 2 devices)
+        # single-host: use the largest device count that divides the
+        # batch (the reference's DistributedSampler analog: batch must
+        # split evenly; a 2-image batch on an 8-device host just uses 2
+        # devices). Multi-host: the mesh spans the GLOBAL device set
+        # (ICI within hosts, DCN across) and the global batch must
+        # divide it — every process runs this same SPMD program.
         bs = self.config["data_config_train"]["batch_size"]
         devs = jax.devices()
-        n = len(devs)
-        while bs % n:
-            n -= 1
-        self.mesh = data_mesh(devs[:n])
-        self.logger.info(
-            f"data-parallel mesh over {n} of {len(devs)} device(s)"
-        )
+        if self.num_processes > 1:
+            if bs % len(devs):
+                raise ValueError(
+                    f"multihost: global batch_size {bs} must divide the "
+                    f"{len(devs)}-device global mesh"
+                )
+            self.mesh = data_mesh(devs)
+            self.logger.info(
+                f"multi-host data mesh: {self.num_processes} processes x "
+                f"{jax.local_device_count()} local devices = {len(devs)}"
+            )
+        else:
+            n = len(devs)
+            while bs % n:
+                n -= 1
+            self.mesh = data_mesh(devs[:n])
+            self.logger.info(
+                f"data-parallel mesh over {n} of {len(devs)} device(s)"
+            )
 
         # ---------------------------------------------------------- model
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
@@ -157,13 +191,19 @@ class Trainer:
         dcfg = self.config["data_config_train"]
         dataset_cls = DATASETS[self.config["data"]]
         self.train_dataset = dataset_cls(configs=dcfg, is_train=True)
+        # multi-host: each process loads its 1/num_processes slice of the
+        # global batch from a disjoint index shard; shard_batch assembles
+        # the global array from the process-local slices
+        local_bs = dcfg["batch_size"] // self.num_processes
         self.train_loader = PrefetchLoader(
             self.train_dataset,
-            batch_size=dcfg["batch_size"],
+            batch_size=local_bs,
             shuffle=True,
             num_workers=dcfg.get("workers", 4),
             seed=self.config.get("seed", 0),
             infinite=True,
+            num_shards=self.num_processes,
+            shard_index=self.process_id,
         )
         self.batch_size = dcfg["batch_size"]
 
@@ -293,26 +333,56 @@ class Trainer:
 
     # -------------------------------------------------------------- train
 
-    def save_checkpoint(self, epoch: int):
+    def save_checkpoint(self, epoch: int, block: bool = True):
+        """Write the epoch-dir checkpoint (reference trainer.py:263-267).
+
+        ``block=False`` snapshots device state to host synchronously (the
+        arrays are immutable, so one ``device_get`` is the only part that
+        must happen on the training thread) and pushes the msgpack file
+        I/O to a daemon thread — the intra-epoch cadence (reference saves
+        every 100 steps, trainer.py:367-368) no longer stalls the input
+        pipeline on disk writes. Writers are serialized: a new save joins
+        the previous one first, so the checkpoint dir is never written
+        concurrently.
+        """
+        if self.process_id != 0:
+            # params are replicated; one writer suffices (the reference's
+            # output_flag rank gate, trainer.py:363-368)
+            return
+        if getattr(self, "_ckpt_thread", None) is not None:
+            self._ckpt_thread.join()
+            self._ckpt_thread = None
         path = os.path.join(self.save_root, f"{epoch:03d}")
         os.makedirs(path, exist_ok=True)
-        variables = self._merge_variables(self.trainable)
-        self.model.save_checkpoint(variables, path)
-        # losses that carry state may expose save_checkpoint (reference
-        # save_loss hook, trainer.py:257-261; none of the shipped losses do)
-        for _name, _w, fn in self.loss_fns:
-            if hasattr(fn, "save_checkpoint"):
-                fn.save_checkpoint(path)
+        variables = jax.device_get(self._merge_variables(self.trainable))
         # optax states are namedtuple pytrees msgpack can't hold; store the
         # leaves (resume unflattens against a freshly-built state template)
         leaves = {
             f"{i:04d}": np.asarray(leaf)
             for i, leaf in enumerate(jax.tree.leaves(self.opt_state))
         }
-        save_module_variables(leaves, os.path.join(path, "opt_state"))
+
+        def _write():
+            self.model.save_checkpoint(variables, path)
+            # losses that carry state may expose save_checkpoint (reference
+            # save_loss hook, trainer.py:257-261; none of the shipped do)
+            for _name, _w, fn in self.loss_fns:
+                if hasattr(fn, "save_checkpoint"):
+                    fn.save_checkpoint(path)
+            save_module_variables(leaves, os.path.join(path, "opt_state"))
+
+        if block:
+            _write()
+        else:
+            self._ckpt_thread = threading.Thread(target=_write, daemon=True)
+            self._ckpt_thread.start()
 
     def save_error_dump(self, batch, loss_val, step):
-        path = os.path.join(self.save_root, f"error_step{step}.npz")
+        path = os.path.join(
+            self.save_root,
+            f"error_step{step}.npz" if self.process_id == 0
+            else f"error_step{step}.proc{self.process_id}.npz",
+        )
         arrs = {
             k: np.asarray(v)
             for k, v in batch.items()
@@ -323,6 +393,8 @@ class Trainer:
         self.logger.error(f"non-finite loss at step {step}; dumped {path}")
 
     def _log_metrics(self, record: Dict):
+        if self.process_id != 0:
+            return
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         if self._tb is not None:
@@ -335,6 +407,10 @@ class Trainer:
         cfg = self.config
         n_epochs = int(cfg["epoch"])
         log_freq = int(cfg.get("log_freq", 100))
+        # intra-epoch safety-save cadence (reference hard-codes 100,
+        # trainer.py:367-368); configurable because the async write still
+        # costs a host device_get per save
+        ckpt_freq = int(cfg.get("ckpt_freq", 100))
         tb_keys = cfg.get("tb_component", [])
         key = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
 
@@ -356,8 +432,8 @@ class Trainer:
             trace_cm.__enter__()
         self._open_trace = trace_cm
         try:
-            self._train_epochs(n_epochs, log_freq, tb_keys, key, data_iter,
-                               global_step, timer, trace_dir)
+            self._train_epochs(n_epochs, log_freq, ckpt_freq, tb_keys, key,
+                               data_iter, global_step, timer, trace_dir)
         finally:
             # an exception anywhere in the loop (non-finite dump, loader
             # error, interrupt) must still close an open device trace
@@ -365,8 +441,8 @@ class Trainer:
                 self._open_trace.__exit__(None, None, None)
                 self._open_trace = None
 
-    def _train_epochs(self, n_epochs, log_freq, tb_keys, key, data_iter,
-                      global_step, timer, trace_dir):
+    def _train_epochs(self, n_epochs, log_freq, ckpt_freq, tb_keys, key,
+                      data_iter, global_step, timer, trace_dir):
         for epoch in range(self.start_epoch, n_epochs + 1):
             step_fn = self._build_step(epoch)
             t_epoch = time.time()
@@ -432,8 +508,8 @@ class Trainer:
                     )
                     self.val_and_vis(epoch, global_step)
 
-                if global_step % 100 == 0:
-                    self.save_checkpoint(epoch)
+                if global_step % ckpt_freq == 0:
+                    self.save_checkpoint(epoch, block=False)
 
             self.save_checkpoint(epoch)
             self.logger.info(
@@ -494,7 +570,7 @@ class Trainer:
         ``val_config['detector']`` is honored, including the ``'sift'``
         passthrough used by train_desc.yaml."""
         vcfg = self.config.get("val_config")
-        if not vcfg:
+        if not vcfg or self.process_id != 0:
             return
         try:
             variables = self._merge_variables(self.trainable)

@@ -95,42 +95,6 @@ def test_generate_kpts_single_parity(rng, thr):
     )
 
 
-@pytest.mark.parametrize("impl", ["sel", "sep"])
-@pytest.mark.parametrize(
-    "thr,use_nms",
-    # use_nms=True exercises the block-fold top-k decode; use_nms=False
-    # exercises the direct top-k index path
-    [(False, True), (0.9, True), (False, False)],
-)
-def test_refine_impls_match_pooled(rng, monkeypatch, thr, use_nms, impl):
-    """POSFEAT_REFINE=sel (per-point 3x3 refinement from gathered
-    neighbors) and =sep (separable 1-D window sums) must reproduce the
-    pooled-map formulation — the grid is affine in the pixel index, so
-    the weighted-average identities are algebraic, not approximate
-    (up to fp reassociation for 'sep')."""
-    import jax
-
-    kp_map = jnp.asarray((rng.rand(2, 60, 76, 1) + 0.01).astype(np.float32))
-    kw = dict(
-        num_pts=200, nms_radius=1, use_nms=use_nms, thr=thr, thr_mod="abs"
-    )
-    monkeypatch.setenv("POSFEAT_REFINE", "pool")
-    f = jax.jit(lambda m: generate_kpts_single(m, **kw))
-    kps0, score0, valid0 = f(kp_map)
-    monkeypatch.setenv("POSFEAT_REFINE", impl)
-    g = jax.jit(lambda m: generate_kpts_single(m, **kw))
-    kps1, score1, valid1 = g(kp_map)
-    n = int(np.asarray(valid0).min())
-    assert int(np.asarray(valid1).min()) == n
-    np.testing.assert_allclose(
-        np.asarray(kps1)[:, :n], np.asarray(kps0)[:, :n], rtol=1e-5, atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(score1)[:, :n], np.asarray(score0)[:, :n],
-        rtol=1e-5, atol=1e-6,
-    )
-
-
 def test_generate_kpts_single_counts(rng):
     """Host-side trim rule reproduces the reference's dynamic k."""
     kp_map = jnp.asarray((rng.rand(1, 40, 40, 1) + 0.01).astype(np.float32))

@@ -406,7 +406,7 @@ def test_desc_tail_f32_hr_checkpoint_compatible(rng, monkeypatch):
     v0 = model.init(jax.random.PRNGKey(0), x)
     out0 = model.apply(v0, x)
 
-    for tail in ("up2", "upsamp", "upsamp3", "split3"):
+    for tail in ("up2", "iconv2", "split3"):
         monkeypatch.setenv("POSFEAT_DESC_TAIL_F32", tail)
         m2 = ResUNetHR(encoder="resnet18", pretrained=False,
                        coarse_out_ch=64, fine_out_ch=64, dtype=jnp.bfloat16)

@@ -77,7 +77,7 @@ def _run_fused(args, mode):
     )
 
 
-@pytest.mark.parametrize("mode", ["v3", "v3t", "v3i", "v2", "v1"])
+@pytest.mark.parametrize("mode", ["v3", "v3t", "v3i", "v1"])
 def test_fused_head_tail_interpret_matches(rng, monkeypatch, mode):
     if mode == "v3t":
         monkeypatch.setenv("POSFEAT_HEAD_MODE", "v3")

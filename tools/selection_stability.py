@@ -122,7 +122,7 @@ def trained_probe(ckpt, work=None, num_pts=512):
     # the f32 arm; restore the caller's environment for the bf16 arm.
     GATES = (
         "POSFEAT_TOPK", "POSFEAT_SAMPLE_IMPL", "POSFEAT_HEAD_IM2COL",
-        "POSFEAT_HEAD_RING", "POSFEAT_REFINE",
+        "POSFEAT_HEAD_RING",
     )
     caller_gates = {g: os.environ.get(g) for g in GATES}
 
