@@ -151,6 +151,32 @@ class Extractor:
         self.batch_size = max(1, int(dcfg.get("batch_size", 1)))
         self.workers = max(1, int(dcfg.get("workers", 4)))
 
+        # spatial (H-axis) sharding for very large images (SURVEY §5
+        # long-context row; the reference crops instead,
+        # hpatches.py:36-38). Config:
+        #   spatial_shard: auto | <n_devices> | False (default)
+        #   spatial_threshold_px: pixel count above which a single image
+        #     is routed through the H-sharded SPMD program (default 4M
+        #     ≈ 2048x2048 — a single v5e chip handles Aachen's 1600px
+        #     class comfortably, PROOFS.md resolution-scaling point)
+        self._spatial_mesh = None
+        self._spatial_model = None
+        sp = self.config.get("spatial_shard", False)
+        self.spatial_threshold = int(
+            self.config.get("spatial_threshold_px", 4 * 1024 * 1024)
+        )
+        if sp:
+            from ..parallel import spatial_mesh
+
+            devs = jax.devices()
+            n = len(devs) if sp in (True, "auto") else min(int(sp), len(devs))
+            if n > 1:
+                self._spatial_mesh = spatial_mesh(devs[:n])
+                self.logger.info(
+                    f"spatial sharding enabled: {n}-device H-axis mesh for "
+                    f"images > {self.spatial_threshold} px"
+                )
+
         self._jit_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------ device progs
@@ -207,6 +233,69 @@ class Extractor:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
+    def _use_spatial(self, shape) -> bool:
+        return (
+            self._spatial_mesh is not None
+            and shape[0] * shape[1] > self.spatial_threshold
+        )
+
+    def _get_spatial_model(self):
+        """Model instance for the SPMD program: identical parameters, but
+        the Mosaic fused head ('pallas') is a single-device kernel — the
+        spatial program swaps it for the XLA 'phase' dataflow, which XLA
+        partitions (halo exchanges ride ICI automatically)."""
+        if self._spatial_model is None:
+            import copy
+
+            mc = copy.deepcopy(self.config["model_config"])
+            lh = mc.get("localheader_config")
+            if isinstance(lh, dict) and lh.get("fused_upsample") == "pallas":
+                lh["fused_upsample"] = "phase"
+            self._spatial_model = MODELS[self.config.get("model", "PoSFeat")](
+                mc, dtype=self.model.dtype
+            )
+        return self._spatial_model
+
+    def _spatial_fn(self, shape, det_cfg_key: str):
+        """Like _learned_fn, but the [1, H, W, 3] image input is H-sharded
+        over the spatial mesh and the whole program — backbone, head,
+        NMS, top-k, refinement, descriptor sampling — runs SPMD; the
+        small keypoint/descriptor slates come back replicated."""
+        key = ("spatial", shape, det_cfg_key, trace_knob_key())
+        if key not in self._jit_cache:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..data.utils import IMAGENET_MEAN, IMAGENET_STD
+
+            H, W = shape
+            model = self._get_spatial_model()
+            det_cfg = self.config[det_cfg_key]
+            detector = self._detector_fn(det_cfg)
+            cos = self.config["loss_distance"] == "cos"
+            mean = jnp.asarray(IMAGENET_MEAN)
+            std = jnp.asarray(IMAGENET_STD)
+            out_dt = self.model.dtype
+            want_map = bool(self.config.get("output_img"))
+            mesh = self._spatial_mesh
+            im_sh = NamedSharding(mesh, P(None, "spatial", None, None))
+            repl = NamedSharding(mesh, P())
+
+            def run(variables, im_u8):
+                im = (im_u8.astype(jnp.float32) / 255.0 - mean) / std
+                outputs = model.extract(variables, im, train=False)
+                coord_n, score, valid = detector(outputs["local_point"])
+                feat = sample_feat_by_coord(outputs["local_map"], coord_n, cos)
+                feat = feat.astype(out_dt)
+                coords = denormalize_coords(coord_n, H, W)
+                if want_map:
+                    return coords, score, feat, valid, outputs["local_point"]
+                return coords, score, feat, valid
+
+            self._jit_cache[key] = jax.jit(
+                run, in_shardings=(repl, im_sh), out_shardings=repl
+            )
+        return self._jit_cache[key]
+
     def _sift_fn(self, shape, n_pad: int):
         """Jitted: sample descriptors at provided (padded) SIFT keypoints."""
         key = ("sift", shape, n_pad, trace_knob_key())
@@ -247,7 +336,12 @@ class Extractor:
         det_cfg_key = self._det_cfg_key(inputs)
         im_u8 = jnp.asarray(np.asarray(inputs["im1_ori"], np.uint8))[None]
         H, W = im_u8.shape[1:3]
-        out = self._learned_fn((H, W), det_cfg_key)(self.variables, im_u8)
+        fn = (
+            self._spatial_fn((H, W), det_cfg_key)
+            if self._use_spatial((H, W))
+            else self._learned_fn((H, W), det_cfg_key)
+        )
+        out = fn(self.variables, im_u8)
         coords, score, feat, valid = out[:4]
         # reference dynamic count: max(min(num_pts, valid), 128) (putils:249-261)
         num_pts = self.config[det_cfg_key]["num_pts"]
@@ -493,11 +587,17 @@ class Extractor:
             while len(write_futs) > write_cap:
                 write_futs.popleft().result()
 
+        def bucket_cap(key) -> int:
+            # spatial-sharded images run batch-1 (the whole mesh works on
+            # ONE image's H axis); everything else fills the static batch
+            return 1 if self._use_spatial(key[0]) else bs
+
         def dispatch(key):
             items = buckets.pop(key)
             shape, det_cfg_key = key
+            cap = bucket_cap(key)
             ims = [np.asarray(it["im1_ori"], np.uint8) for it in items]
-            while len(ims) < bs:  # pad partial bucket: same program
+            while len(ims) < cap:  # pad partial bucket: same program
                 ims.append(ims[-1])
             stacked = np.stack(ims)
             t0 = time.perf_counter()
@@ -506,7 +606,12 @@ class Extractor:
                 batch.block_until_ready()
             t1 = time.perf_counter()
             t_add("upload", t1 - t0)
-            out = self._learned_fn(shape, det_cfg_key)(self.variables, batch)
+            fn = (
+                self._spatial_fn(shape, det_cfg_key)
+                if cap == 1 and self._use_spatial(shape)
+                else self._learned_fn(shape, det_cfg_key)
+            )
+            out = fn(self.variables, batch)
             t_add("dispatch", time.perf_counter() - t1)
             fetch_futs.append(fetch_pool.submit(finish, key, items, out))
             # bound the number of live device result buffers
@@ -530,7 +635,7 @@ class Extractor:
                 H, W = inputs["im1_ori"].shape[:2]
                 key = ((H, W), self._det_cfg_key(inputs))
                 buckets.setdefault(key, []).append(inputs)
-                if len(buckets[key]) == bs:
+                if len(buckets[key]) == bucket_cap(key):
                     dispatch(key)
                 elif sum(len(v) for v in buckets.values()) >= pending_cap:
                     dispatch(max(buckets, key=lambda k: len(buckets[k])))

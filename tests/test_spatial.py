@@ -148,3 +148,81 @@ def test_spatial_extract_with_detector(rng):
     np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-5)
     assert feat.shape[-1] == SMALL["backbone_config"]["fine_out_ch"]
+
+
+def test_extractor_spatial_product_route(tmp_path, rng):
+    """The PRODUCT path (VERDICT r3 item 6): an Extractor config with
+    `spatial_shard: auto` must route images above spatial_threshold_px
+    through the H-sharded SPMD program and produce the same feature
+    files as the unsharded run."""
+    import os
+    import sys
+
+    import cv2
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_e2e import make_mini_hpatches
+
+    from posfeat_tpu.extract import Extractor
+
+    data_root = str(tmp_path / "hp")
+    os.makedirs(data_root)
+    # 384x160 = 61k px: above the 40k test threshold -> spatial route
+    make_mini_hpatches(data_root, n_seq=1, n_img=2, h=384, w=160)
+
+    base = {
+        "postfix": "sp",
+        "load_path": None,
+        "loss_distance": "cos",
+        "output_desc": True,
+        "output_img": False,
+        "model": "PoSFeat",
+        "model_config": SMALL,
+        "data": "HPatch_SIFT",
+        "data_config_extract": {
+            "data_path": data_root, "batch_size": 2, "workers": 2,
+        },
+        "local_thr": 0.99,
+        "use_sift": False,
+        "detector": "generate_kpts_single",
+        "detector_config": {
+            "num_pts": 256, "stable": True, "use_nms": True,
+            "nms_radius": 1, "thr": False,
+        },
+    }
+    e_plain = Extractor(
+        {**base, "output_root": "plain"}, ckpt_root=str(tmp_path / "ck")
+    )
+    e_plain.extract()
+
+    e_sp = Extractor(
+        {
+            **base,
+            "output_root": "sharded",
+            "spatial_shard": "auto",
+            "spatial_threshold_px": 40_000,
+        },
+        ckpt_root=str(tmp_path / "ck"),
+    )
+    assert e_sp._spatial_mesh is not None
+    assert e_sp._use_spatial((384, 160)) and not e_sp._use_spatial((160, 160))
+    # share weights so outputs are comparable
+    e_sp.variables = e_plain.variables
+    e_sp.extract()
+
+    import glob
+
+    plain_files = sorted(glob.glob(str(tmp_path / "ck/plain/desc/*/*.sp")))
+    assert plain_files
+    for pf in plain_files:
+        sf = pf.replace("/plain/", "/sharded/")
+        a, b = np.load(pf), np.load(sf)
+        # order-independent: sharded-reduction tie order may differ
+        ia = np.lexsort((a["keypoints"][:, 1], a["keypoints"][:, 0]))
+        ib = np.lexsort((b["keypoints"][:, 1], b["keypoints"][:, 0]))
+        np.testing.assert_allclose(
+            a["keypoints"][ia], b["keypoints"][ib], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            a["descriptors"][ia], b["descriptors"][ib], rtol=1e-3, atol=1e-3
+        )
