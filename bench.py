@@ -295,12 +295,21 @@ def main():
     last_err = ""
     shippable = {}
     config_gates = {}
+    # A/B gate overrides on top of a named config's gate set, e.g.
+    # POSFEAT_BENCH_GATE_OVERRIDES="POSFEAT_SAMPLE_IMPL=quad" — plain
+    # env vars can't do this because each config SETS its gates
+    overrides = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get(
+            "POSFEAT_BENCH_GATE_OVERRIDES", ""
+        ).split(",")
+        if "=" in kv
+    )
     for name, bs, dt, extra_env, eligible in configs:
         saved = {}
-        if extra_env:
-            for k, v in extra_env.items():
-                saved[k] = os.environ.get(k)
-                os.environ[k] = v
+        for k, v in {**(extra_env or {}), **overrides}.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
         config_gates[name] = active_gates()
         try:
             # transient relay faults (broken pipe on large compiles) get

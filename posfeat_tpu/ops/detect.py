@@ -189,9 +189,40 @@ def generate_kpts_single(
             bmax = blocks.max(axis=-1)
             barg = jnp.argmax(blocks, axis=-1)
             k = min(num_pts, bmax.shape[1])
-            scores_sel, bidx = _top_k(bmax, k)
-            # recover flat indices in the (h2, w2) interior grid
-            inner = jnp.take_along_axis(barg, bidx, axis=1)
+            import os
+
+            if os.environ.get("POSFEAT_TOPK") == "approx":
+                # Pack the in-block argmax (≤4 bits: fold ≤ 4) into the
+                # mantissa LSBs of the f32 block-max before the top-k,
+                # and decode it from the returned VALUES — this removes
+                # a [B*k]-row gather from [B, hw/fold²] (0.083 ms/img at
+                # the 480x640/8192-pt operating point, the single
+                # largest op in the detector group, r4 trace). Scores
+                # are Softplus-nonnegative, so integer ordering of the
+                # f32 bits matches float ordering and masking 4 ulps
+                # only reorders ties closer than 2⁻¹⁹ relative — well
+                # inside approx_max_k's 0.99-recall contract (this path
+                # is gated on it; exact mode keeps reference ordering).
+                packed = jnp.bitwise_or(
+                    jnp.bitwise_and(
+                        jax.lax.bitcast_convert_type(
+                            bmax.astype(jnp.float32), jnp.int32
+                        ),
+                        jnp.int32(~0xF),
+                    ),
+                    barg.astype(jnp.int32),
+                )
+                scores_sel, bidx = _top_k(
+                    jax.lax.bitcast_convert_type(packed, jnp.float32), k
+                )
+                inner = jnp.bitwise_and(
+                    jax.lax.bitcast_convert_type(scores_sel, jnp.int32),
+                    jnp.int32(0xF),
+                )
+            else:
+                scores_sel, bidx = _top_k(bmax, k)
+                # recover flat indices in the (h2, w2) interior grid
+                inner = jnp.take_along_axis(barg, bidx, axis=1)
             by = bidx // (wp // fold)
             bx = bidx % (wp // fold)
             yy = by * fold + inner // fold

@@ -144,6 +144,77 @@ def _sample_one_pair(
     )
 
 
+def _sample_one_quad(
+    img: jnp.ndarray, pts: jnp.ndarray, lerp32: bool = False
+) -> jnp.ndarray:
+    """All-4-corner single-gather bilinear sampling ('zeros' padding).
+
+    Extends the pair trick one level: a row-pair map `map2[p] =
+    concat(flat[p], flat[p+W])` puts BOTH y-rows of a bilinear footprint
+    in one 2C-wide row, so the whole 4-corner fetch is ONE gather of
+    (2, 2C) slices — half the random-access rows of 'pair' (the TPU
+    gather cost is per fetched row, 0.108 ms/img each at the 480x640
+    8192-pt operating point, r4 trace) for one cheap dense concat
+    (~2x map bytes, sequential bandwidth). Values are identical to
+    'pair' up to the same factored-lerp rounding.
+    """
+    H, W, C = img.shape
+    ix = _unnormalize(pts[:, 0], W)
+    iy = _unnormalize(pts[:, 1], H)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx1 = (ix - x0).astype(jnp.float32)
+    wy1 = (iy - y0).astype(jnp.float32)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    acc_dt = jnp.float32 if lerp32 else img.dtype
+
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    vx0 = (xi >= 0) & (xi < W)
+    vx1 = (xi + 1 >= 0) & (xi + 1 < W)
+    vy0 = (yi >= 0) & (yi < H)
+    vy1 = (yi + 1 >= 0) & (yi + 1 < H)
+
+    flat = img.reshape(H * W, C)
+    # aug rows: [W zero rows][flat][2W zero rows]; map2[i] pairs aug[i]
+    # (row y0, for base index i=(y0+1)*W+x) with aug[i+W] (row y0+1) —
+    # the leading zero-block makes y0=-1 legal, the trailing one makes
+    # y0=H-1's bottom half read zeros (both carry zero weight)
+    z = jnp.zeros((W, C), img.dtype)
+    aug = jnp.concatenate([z, flat, z, z])
+    n2 = H * W + W
+    map2 = jnp.concatenate([aug[:n2], aug[W : n2 + W]], axis=1)  # [n2, 2C]
+    # one zero row on both ends so every pair start lands in-bounds
+    # without clamping (same device as 'pair'); wrapped/zero reads carry
+    # zero weight
+    zr = jnp.zeros((1, 2 * C), img.dtype)
+    map2 = jnp.concatenate([zr, map2, zr])
+
+    r = 1 + (jnp.clip(yi, -1, H - 1) + 1) * W + jnp.clip(xi, -1, W - 1)
+    v = jax.lax.gather(
+        map2,
+        r[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2),
+            collapsed_slice_dims=(),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(2, 2 * C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [N, 2, 2C]: [:, xpair, ytop|ybot]
+    w00 = jnp.where(vy0 & vx0, wx0 * wy0, 0.0)[:, None].astype(acc_dt)
+    w01 = jnp.where(vy0 & vx1, wx1 * wy0, 0.0)[:, None].astype(acc_dt)
+    w10 = jnp.where(vy1 & vx0, wx0 * wy1, 0.0)[:, None].astype(acc_dt)
+    w11 = jnp.where(vy1 & vx1, wx1 * wy1, 0.0)[:, None].astype(acc_dt)
+    return (
+        v[:, 0, :C].astype(acc_dt) * w00
+        + v[:, 1, :C].astype(acc_dt) * w01
+        + v[:, 0, C:].astype(acc_dt) * w10
+        + v[:, 1, C:].astype(acc_dt) * w11
+    )
+
+
 def grid_sample(
     image: jnp.ndarray,
     grid: jnp.ndarray,
@@ -162,7 +233,12 @@ def grid_sample(
     lead = grid.shape[1:-1]
     B = image.shape[0]
     flat = grid.reshape(B, -1, 2)
-    if impl == "pair":
+    if impl == "quad":
+        assert padding_mode == "zeros", "quad impl implements zeros padding"
+        out = jax.vmap(_sample_one_quad, in_axes=(0, 0, None))(
+            image, flat, lerp32
+        )
+    elif impl == "pair":
         assert padding_mode == "zeros", "pair impl implements zeros padding"
         out = jax.vmap(_sample_one_pair, in_axes=(0, 0, None))(
             image, flat, lerp32

@@ -583,15 +583,16 @@ def _fused_head_tail(
         # stride-4 overlapping 8x8x3 patches of the 2-px zero-pad of s as
         # ONE conv-patches op (any manual build materializes full-res
         # 3-channel intermediates, which are ~40x lane-padded on TPU and
-        # measured +0.6 ms/img); channel order is (c, oy, ox), lane-pad
-        # 192->256 for the kernel operand
+        # measured +0.6 ms/img); channel order is (c, oy, ox). The
+        # operand ships at its TRUE 192-channel count — the MXU tiles K
+        # internally, and the explicit 192->256 zero-pad it replaces
+        # cost a 0.03 ms/img materialization (r4 trace, pad.727)
         s_dt = img_s.astype(dt)
         P = jax.lax.conv_general_dilated_patches(
             s_dt, (2 * k, 2 * k), (k, k), [(2, 2), (2, 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # [B, h, w, 3*64]
-        pch = 256
-        P = jnp.pad(P, ((0, 0), (0, 0), (0, 0), (0, pch - 192))).astype(dt)
+        ).astype(dt)  # [B, h, w, 3*64]
+        pch = 192
         # W[(c,oy,ox), (ry,rx,f)] = K5[oy-ry, ox-rx, c, f] (zero outside)
         emb = [
             jnp.pad(K5, ((0, 0), (ry, 3 - ry), (rx, 3 - rx), (0, 0), (0, 0)))
@@ -600,7 +601,7 @@ def _fused_head_tail(
         ]
         Wt = jnp.stack(emb, -2)  # [B, 8, 8, 3, kk, Cout]
         Wm = Wt.transpose(0, 3, 1, 2, 4, 5).reshape(B, 192, kk * cout)
-        Wm = jnp.pad(Wm, ((0, 0), (0, pch - 192), (0, 0))).astype(dt)
+        Wm = Wm.astype(dt)
         b2b = (
             jnp.tile(b2.astype(f32), kk)[None, :] + jnp.tile(b_z, (1, kk))
         )[:, None, :]  # [B, 1, kk*Cout]
@@ -624,19 +625,17 @@ def _fused_head_tail(
     # Mosaic kernels. Embedded in a larger XLA program, conv outputs can
     # arrive in conv-preferred layouts, which silently corrupts the
     # custom-call operands (observed on v5e: jitted-model scores diverged
-    # while the identical standalone program was exact).
-    if not interpret:
+    # while the identical standalone program was exact). The constraint
+    # sits on the KERNEL OPERANDS (tp/P/Wm, z_img), not on `trunk` —
+    # constraining trunk forced a relayout copy of the conv1 output
+    # (0.03 ms/img, r4 trace copy.236) that the operand pads can absorb.
+    if not interpret and mode != "v3":
         from jax.experimental.layout import Layout, with_layout_constraint
 
         canon4 = Layout((0, 1, 2, 3))
-        if mode == "v3":
-            trunk, P, Wm = with_layout_constraint(
-                (trunk, P, Wm), (canon4, canon4, Layout((0, 1, 2)))
-            )
-        else:
-            trunk, z_img = with_layout_constraint(
-                (trunk, z_img), (canon4, canon4)
-            )
+        trunk, z_img = with_layout_constraint(
+            (trunk, z_img), (canon4, canon4)
+        )
 
     # lane-align the contraction dim for the halo DMA (the MXU tiles K by
     # 128 internally, so zero-padded channels cost nothing extra)
@@ -646,10 +645,27 @@ def _fused_head_tail(
     T = Bo = L = R = None
     if ring:
         T, Bo, L, R = _ring_strips(trunk, k2_trunk, k)
+        # edge pad (upsample clamp) + zero overhang for the aligned DMA
+        tp = jnp.pad(trunk, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 6), (0, cin_p - cin)))
+    else:
+        # ring-skip mode: the border ring is approximate anyway (its
+        # exact thin-strip rewrite is disabled), so a ZERO halo replaces
+        # the edge-clamp halo and the whole operand is ONE constant pad
+        # (the edge-mode pad lowered to a concat-of-slices fusion plus a
+        # second pad — 0.09 ms/img together, r4 trace fusion.899 +
+        # pad.725). Ring values shift from "composite-of-clamp" to
+        # "composite-of-zero" — a different bounded approximation on the
+        # same 2-px ring, judged by the same trained ΔMMA probe.
+        tp = jnp.pad(trunk, ((0, 0), (1, 1), (1, 7), (0, cin_p - cin)))
+    if not interpret and mode == "v3":
+        from jax.experimental.layout import Layout, with_layout_constraint
+
+        canon4 = Layout((0, 1, 2, 3))
+        tp, P, Wm = with_layout_constraint(
+            (tp, P, Wm), (canon4, canon4, Layout((0, 1, 2)))
+        )
     b2ph = jnp.tile(b2.astype(jnp.float32), kk)[None, :]  # [1, kk*cout]
-    # edge pad (upsample clamp) + zero overhang for the aligned halo DMA
-    tp = jnp.pad(trunk, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 6), (0, cin_p - cin)))
 
     grid = (B, nty, ntx)
     if mode == "v3":

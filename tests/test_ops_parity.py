@@ -99,14 +99,17 @@ def test_grid_sample_matches_torch(rng, padding):
         np.asarray(ours), ref.permute(0, 2, 1).numpy(), rtol=1e-5, atol=1e-5
     )
     if padding == "zeros":
-        # pair-gather formulation: identical values incl. border straddles
-        pair = grid_sample(
-            t2j_nchw(img_t), jnp.asarray(grid_np),
-            padding_mode=padding, impl="pair",
-        )
-        np.testing.assert_allclose(
-            np.asarray(pair), ref.permute(0, 2, 1).numpy(), rtol=1e-5, atol=1e-5
-        )
+        # pair-gather / quad-gather formulations: identical values incl.
+        # border straddles
+        for impl in ("pair", "quad"):
+            got = grid_sample(
+                t2j_nchw(img_t), jnp.asarray(grid_np),
+                padding_mode=padding, impl=impl,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), ref.permute(0, 2, 1).numpy(),
+                rtol=1e-5, atol=1e-5,
+            )
 
 
 def test_sample_feat_by_coord_norm(rng):

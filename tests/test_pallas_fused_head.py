@@ -97,21 +97,24 @@ def test_fused_head_tail_interpret_matches(rng, monkeypatch, mode):
 
 
 def test_fused_head_tail_no_ring_interior(rng, monkeypatch):
-    """POSFEAT_HEAD_RING=0 drops the border-ring correction: scores on
-    the 2-px ring become approximate, but interior scores must stay
-    within the small IN-statistics shift the uncorrected ring induces
-    (~1.5% of pixels with bounded delta)."""
+    """POSFEAT_HEAD_RING=0 drops the border-ring correction AND (since
+    r4) replaces the edge-clamp halo with a zero halo (one constant pad
+    instead of the concat-of-slices + pad pair, −0.09 ms/img): scores on
+    the 4-px full-res ring become approximate, but interior scores must
+    stay within the small IN-statistics shift the uncorrected ring
+    induces."""
     args = _setup(rng, B=2, h=16, w=24, cin=24, cy=16, cout=32, out=2)
     ref = np.asarray(reference_tail(*args, act="Softplus"))
     monkeypatch.setenv("POSFEAT_HEAD_RING", "0")
     got = _run_fused(args, "v3")
     assert got.shape == ref.shape
     assert np.isfinite(got).all()
-    d_int = np.abs(got[:, 2:-2, 2:-2] - ref[:, 2:-2, 2:-2])
+    d_int = np.abs(got[:, 4:-4, 4:-4] - ref[:, 4:-4, 4:-4])
     scale = np.abs(ref).mean()
     # the interior shift scales with the ring's share of the IN
     # statistics (perimeter/area — much larger on this 64x96 test grid
-    # than at production 480x640); the production-quality gate is the
+    # than at production 480x640: measured relmax 0.059 here vs 0.019
+    # at 128x192 and shrinking); the production-quality gate is the
     # trained-weights delta-MMA probe, not this diagnostic bound
     assert d_int.max() < 0.1 * scale, (d_int.max(), scale)
     assert d_int.mean() < 0.02 * scale, (d_int.mean(), scale)
