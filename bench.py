@@ -229,7 +229,7 @@ def main():
     # kp_parity2 passes on device (runbook step 01).
     SHIP_ENV = {
         "POSFEAT_DESC_TAIL_F32": "split3",
-        "POSFEAT_SAMPLE_IMPL": "pair",
+        "POSFEAT_SAMPLE_IMPL": "quad",
         "POSFEAT_TOPK": "approx",
         "POSFEAT_HEAD_RING": "0",
         "POSFEAT_HEAD_IM2COL": "1",

@@ -23,7 +23,7 @@ if _os.environ.get("POSFEAT_FAST") == "1":
     # Individual knobs still win if set explicitly; trace_knob_key()
     # sees the resolved values, so jit caches stay consistent.
     for _k, _v in (
-        ("POSFEAT_SAMPLE_IMPL", "pair"),
+        ("POSFEAT_SAMPLE_IMPL", "quad"),
         ("POSFEAT_TOPK", "approx"),
         ("POSFEAT_HEAD_RING", "0"),
         ("POSFEAT_HEAD_IM2COL", "1"),

@@ -28,6 +28,7 @@ TRACE_KNOBS = (
     "POSFEAT_SCORE_F32",
     "POSFEAT_DECODER_ACCUM",
     "POSFEAT_HEAD_MODE",
+    "POSFEAT_HEAD_STATS",
     "POSFEAT_HEAD_IM2COL",
     "POSFEAT_HEAD_RING",
     "POSFEAT_HEAD_T1",

@@ -80,7 +80,7 @@ class Extractor:
             and self.config.get("fast_mode", True)
         ):
             for _k, _v in (
-                ("POSFEAT_SAMPLE_IMPL", "pair"),
+                ("POSFEAT_SAMPLE_IMPL", "quad"),
                 ("POSFEAT_TOPK", "approx"),
                 ("POSFEAT_HEAD_RING", "0"),
                 ("POSFEAT_HEAD_IM2COL", "1"),

@@ -11,6 +11,7 @@ ties to the lower flat index, like torch.topk on contiguous maps).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -152,10 +153,31 @@ def generate_kpts_single(
     # 1.08 ms/img vs 0.24 for the dense pools (TPU gathers are
     # row-at-a-time; stride-1 reduce_windows ride the VPU), and 'sep'
     # A/B'd neutral because XLA already fuses the score×grid product.
+    # An NMS winner at radius>=1 is a strict local max over a window
+    # that contains its 3x3 INTERIOR neighborhood, so the reference's
+    # max-pooled output score (putils:249) at a winner is the winner's
+    # own score — the value the top-k already returns — everywhere
+    # except the interior-edge ring, where max_pool3 on the full map
+    # peeks into the 1-px frame border that NMS never saw (~0.8% of
+    # winners on a 22x22 test map, far fewer at 480x640). Reusing the
+    # top-k value skips the dense full-res max_pool AND the [B*k]-row
+    # score gather (together ~0.05 ms/img at 480x640/8192 pts, r4
+    # trace) at the cost of ring winners reporting their own score.
+    # Selection/order is untouched (it always ranked by the masked
+    # interior map), so this rides the certified approx fast path only
+    # (POSFEAT_TOPK=approx, judged by the trained-weights ΔMMA probe);
+    # exact mode keeps the reference gather. Only the stable NMS path
+    # qualifies (gumbel mixes scores; softnms winners are not argmaxes
+    # of the rescored map).
+    score_from_topk = (
+        use_nms is True
+        and nms_radius >= 1
+        and stable
+        and os.environ.get("POSFEAT_TOPK") == "approx"
+    )
     refine_quad = refine == "quad" and stride == 1
     if refine_quad:
         grids = _quad_refine_grids(kp_map)
-        kp_score_map = max_pool2d(kp_map, 3, stride)
     else:
         grids_org = gen_grid(
             -1, 1, -1, 1, H, W, dtype=kp_map.dtype
@@ -163,7 +185,9 @@ def generate_kpts_single(
         grids = avg_pool2d(kp_map * grids_org, 3, stride) / avg_pool2d(
             kp_map, 3, stride
         )
-        kp_score_map = max_pool2d(kp_map, 3, stride)
+    kp_score_map = (
+        None if score_from_topk else max_pool2d(kp_map, 3, stride)
+    )
 
     valid_count = count_src.reshape(B, -1).sum(axis=1).astype(jnp.int32)
 
@@ -189,8 +213,6 @@ def generate_kpts_single(
             bmax = blocks.max(axis=-1)
             barg = jnp.argmax(blocks, axis=-1)
             k = min(num_pts, bmax.shape[1])
-            import os
-
             if os.environ.get("POSFEAT_TOPK") == "approx":
                 # Pack the in-block argmax (≤4 bits: fold ≤ 4) into the
                 # mantissa LSBs of the f32 block-max before the top-k,
@@ -238,9 +260,20 @@ def generate_kpts_single(
         kps = jnp.take_along_axis(
             grids.reshape(B, -1, 2), idx[..., None], axis=1
         )
-        kp_score = jnp.take_along_axis(
-            kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
-        )
+        if score_from_topk:
+            # strip the packed argmax bits back out of the values (the
+            # approx+nms gate guarantees the fold>1 packed path ran)
+            kp_score = jax.lax.bitcast_convert_type(
+                jnp.bitwise_and(
+                    jax.lax.bitcast_convert_type(scores_sel, jnp.int32),
+                    jnp.int32(~0xF),
+                ),
+                jnp.float32,
+            ).astype(kp_map.dtype)[..., None]
+        else:
+            kp_score = jnp.take_along_axis(
+                kp_score_map.reshape(B, -1, 1), idx[..., None], axis=1
+            )
         if k < num_pts:
             pad = num_pts - k
             kps = jnp.pad(kps, ((0, 0), (0, pad), (0, 0)))

@@ -486,13 +486,17 @@ def fused_head_tail(
         trunk.dtype == jnp.bfloat16
         and os.environ.get("POSFEAT_SCORE_F32", "1") == "1"
     )
+    # convimg IN-stats source for v3: 'gram' (default — patch-gram MXU
+    # contraction, lets XLA DCE the full-res convimg in ring-skip
+    # programs) or 'xla' (the y_img operand reduction)
+    img_stats = os.environ.get("POSFEAT_HEAD_STATS", "gram")
     return _fused_head_tail(
         trunk, img_s, img_y, img_mu, img_a, k1_img, b1_img,
         k2_trunk, k2_img, b2, w3, b3, prelu_a,
         act=act, k=k, eps=eps, interpret=interpret,
         debug_intermediates=debug_intermediates, tiles=tiles,
         mode=mode, tri=tri, im2col=im2col, ring=ring,
-        score_f32=score_f32,
+        score_f32=score_f32, img_stats=img_stats,
     )
 
 
@@ -500,7 +504,7 @@ def fused_head_tail(
     jax.jit,
     static_argnames=(
         "act", "k", "interpret", "debug_intermediates", "tiles",
-        "mode", "tri", "im2col", "ring", "score_f32",
+        "mode", "tri", "im2col", "ring", "score_f32", "img_stats",
     ),
 )
 def _fused_head_tail(
@@ -528,6 +532,7 @@ def _fused_head_tail(
     im2col: bool = False,
     ring: bool = True,
     score_f32: bool = False,
+    img_stats: str = "gram",
 ) -> jnp.ndarray:
     """Reference-exact head tail -> full-res score [B, k*h, k*w, out].
 
@@ -564,6 +569,63 @@ def _fused_head_tail(
         assert k == 4, "composite image branch derived for the x4 head"
         C1 = k1_img.astype(f32)
         C2 = k2_img.astype(f32)
+        # stride-4 overlapping 8x8x3 patches of the 2-px zero-pad of s as
+        # ONE conv-patches op (any manual build materializes full-res
+        # 3-channel intermediates, which are ~40x lane-padded on TPU and
+        # measured +0.6 ms/img); channel order is (c, oy, ox). The
+        # operand ships at its TRUE 192-channel count — the MXU tiles K
+        # internally, and the explicit 192->256 zero-pad it replaces
+        # cost a 0.03 ms/img materialization (r4 trace, pad.727)
+        s_dt = img_s.astype(dt)
+        P = jax.lax.conv_general_dilated_patches(
+            s_dt, (2 * k, 2 * k), (k, k), [(2, 2), (2, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(dt)  # [B, h, w, 3*64]
+        pch = 192
+        if img_stats == "gram":
+            # convimg IN statistics from the PATCH GRAM MATRIX instead
+            # of a full-res reduction over y_img: with Wy embedding the
+            # 3x3 convimg kernel per phase (y in phase layout = P@Wy+b,
+            # exact incl. zero-pad borders — the patches' 2-px zero pad
+            # covers the conv's 1-px pad), the column moments are
+            #   s1 = (1ᵀP)Wy + N·b,  s2 = diag(WyᵀGWy) + 2b⊙(1ᵀP)Wy + N·b²
+            # with G = PᵀP [B,192,192] — a 1.4 GF/img MXU contraction
+            # that replaces the 0.098 ms/img full-res VPU conv+reduce
+            # (r4 trace convert_reduce_fusion.7); y_img then goes dead
+            # in the ring-skip program and XLA DCEs its conv. Numerics:
+            # y is never rounded to bf16 here, so stats differ from the
+            # operand path at the bf16-rounding level (~1e-5 relative
+            # after averaging) — judged, like every fast-path gate, by
+            # the trained-weights ΔMMA probe.
+            cyi = k1_img.shape[3]
+            Wy = jnp.zeros((3, 8, 8, kk, cyi), f32)
+            for py in range(k):
+                for px in range(k):
+                    for dy in range(3):
+                        for dx in range(3):
+                            Wy = Wy.at[
+                                :, py + dy + 1, px + dx + 1, py * k + px, :
+                            ].set(C1[dy, dx])
+            Wy = Wy.reshape(192, kk * cyi)
+            Pf = P.reshape(B, h * w, 192)
+            # bf16 x bf16 -> f32 MACs on the MXU; no f32 copy of P
+            G = jnp.einsum(
+                "bnk,bnl->bkl", Pf, Pf, preferred_element_type=f32
+            )
+            colP = jnp.sum(Pf, axis=1, dtype=f32)  # [B, 192]
+            lin = jnp.einsum("bk,kj->bj", colP, Wy, precision=hi)
+            quad = jnp.einsum(
+                "kj,bkl,lj->bj", Wy, G, Wy, precision=hi
+            )
+            n_full = (k * h) * (k * w)
+            b1f = jnp.tile(b1_img.astype(f32), kk)[None, :]
+            s1v = lin + (n_full / kk) * b1f
+            s2v = quad + 2.0 * b1f * lin + (n_full / kk) * b1f * b1f
+            s1 = s1v.reshape(B, kk, cy).sum(1)
+            s2 = s2v.reshape(B, kk, cy).sum(1)
+            mu32 = s1 / n_full
+            var_g = jnp.maximum(s2 / n_full - mu32 * mu32, 0.0)
+            a32 = jax.lax.rsqrt(var_g + eps)
         A1 = C1[None] * a32[:, None, None, None, :]  # [B,3,3,3,Cy]
         K5 = jnp.zeros((B, 5, 5, 3, cout), f32)
         for ey in range(3):
@@ -580,19 +642,6 @@ def _fused_head_tail(
             C2.sum((0, 1)),
             precision=hi,
         )  # [B, Cout]
-        # stride-4 overlapping 8x8x3 patches of the 2-px zero-pad of s as
-        # ONE conv-patches op (any manual build materializes full-res
-        # 3-channel intermediates, which are ~40x lane-padded on TPU and
-        # measured +0.6 ms/img); channel order is (c, oy, ox). The
-        # operand ships at its TRUE 192-channel count — the MXU tiles K
-        # internally, and the explicit 192->256 zero-pad it replaces
-        # cost a 0.03 ms/img materialization (r4 trace, pad.727)
-        s_dt = img_s.astype(dt)
-        P = jax.lax.conv_general_dilated_patches(
-            s_dt, (2 * k, 2 * k), (k, k), [(2, 2), (2, 2)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(dt)  # [B, h, w, 3*64]
-        pch = 192
         # W[(c,oy,ox), (ry,rx,f)] = K5[oy-ry, ox-rx, c, f] (zero outside)
         emb = [
             jnp.pad(K5, ((0, 0), (ry, 3 - ry), (rx, 3 - rx), (0, 0), (0, 0)))

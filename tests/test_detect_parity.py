@@ -237,3 +237,71 @@ def test_quad_refine_contract_matches_avg3():
     d = np.abs(np.asarray(kps_q)[:, :n] - np.asarray(kps_a)[:, :n])
     assert d[..., 0].max() * (76 - 1) / 2 <= 1.0 + 1e-5
     assert d[..., 1].max() * (60 - 1) / 2 <= 1.0 + 1e-5
+
+
+def test_approx_score_from_topk(rng, monkeypatch):
+    """POSFEAT_TOPK=approx reuses the top-k values as output scores
+    (skipping the dense max_pool + per-point gather). Packing masks 4
+    score ulps, so near-ties may swap order — comparison is by position
+    set. Scores must equal the winner's own map value (off the
+    interior-edge ring) and never exceed the reference max-pooled score
+    (the 1-px frame-border peek the fast path gives up)."""
+    kp_map_t = torch.from_numpy(
+        (rng.rand(2, 1, 60, 76) + 0.01).astype(np.float32)
+    )
+    kp_map = jnp.asarray(kp_map_t.permute(0, 2, 3, 1).numpy())
+    monkeypatch.setenv("POSFEAT_TOPK", "approx")
+    kps, score, valid = generate_kpts_single(
+        kp_map, num_pts=200, nms_radius=1, use_nms=True
+    )
+    ref_kps, _, ref_valid = torch_generate_kpts_single(
+        kp_map_t, nms_radius=1, num_pts=200
+    )
+    n = ref_kps.shape[1]
+    assert int(np.asarray(valid).min()) == ref_valid
+    B, H, W = kp_map.shape[:3]
+    h2, w2 = H - 2, W - 2
+    m = np.asarray(kp_map)[..., 0]
+    mp = F.max_pool2d(kp_map_t, 3, stride=1, padding=0).numpy()[:, 0]
+    # the exact integer winner pixels, straight from the reference
+    # selection rule (top-k of the NMS-masked interior)
+    interior_t = kp_map_t[:, :, 1:-1, 1:-1]
+    masked_t = torch_nms(interior_t, 1).float() * interior_t
+    _, idx_t = masked_t.reshape(B, -1).topk(n)
+    wy = (idx_t // w2 + 1).numpy()
+    wx = (idx_t % w2 + 1).numpy()
+
+    def to_px(xy):
+        return np.stack(
+            [(xy[..., 0] + 1) / 2 * (W - 1), (xy[..., 1] + 1) / 2 * (H - 1)],
+            axis=-1,
+        )
+
+    got = np.asarray(score)[:, :n, 0]
+    pts = to_px(np.asarray(kps)[:, :n])
+    refined_ref = to_px(ref_kps.numpy())
+    for b in range(2):
+        # refined positions agree with the exact reference refinement
+        sa = np.lexsort((pts[b][:, 1], pts[b][:, 0]))
+        sb = np.lexsort((refined_ref[b][:, 1], refined_ref[b][:, 0]))
+        np.testing.assert_allclose(
+            pts[b][sa], refined_ref[b][sb], rtol=1e-4, atol=1e-3
+        )
+        # match each refined point to its winner (NMS keeps winners
+        # >=2 px apart; the 3x3 refinement moves a point <1 px)
+        winners = np.stack([wx[b], wy[b]], axis=-1).astype(np.float32)
+        d = np.abs(pts[b][:, None, :] - winners[None, :, :]).max(-1)
+        j = d.argmin(1)
+        assert (d[np.arange(len(j)), j] < 1.0).all()
+        xs, ys = wx[b][j], wy[b][j]
+        own = m[b, ys, xs]
+        # reported score is the winner's own (packed-LSB-stripped) value
+        np.testing.assert_allclose(got[b], own, rtol=2e-5, atol=1e-6)
+        # never above the reference max-pooled score; equal off-ring
+        refmax = mp[b, ys - 1, xs - 1]
+        assert (got[b] <= refmax + 1e-6).all()
+        interior = (ys > 1) & (ys < H - 2) & (xs > 1) & (xs < W - 2)
+        assert interior.sum() > 150
+        np.testing.assert_allclose(
+            got[b][interior], refmax[interior], rtol=2e-5, atol=1e-6
+        )

@@ -205,3 +205,24 @@ def test_extractor_bf16_autoselects_pallas(tmp_path, rng):
     d = np.linalg.norm(kp32[:, None, :] - kp16[None, :, :], axis=-1)
     overlap = (d.min(axis=1) < 2.0).mean()
     assert overlap > 0.5, overlap
+
+
+def test_gram_stats_match_xla_stats(rng, monkeypatch):
+    """POSFEAT_HEAD_STATS=gram derives the convimg IN statistics from the
+    patch gram matrix (no full-res y_img reduction). Against the operand
+    ('xla') path the only differences are summation order and skipping
+    y's bf16 rounding — outputs must agree tightly in f32 and to bf16
+    resolution in bf16."""
+    for dt, rtol in ((jnp.float32, 2e-4), (jnp.bfloat16, 2e-2)):
+        args = _setup(rng, B=2, h=16, w=24, cin=24, cy=16, cout=32, out=2)
+        args = tuple(
+            a.astype(dt) if a.ndim >= 3 else a for a in args
+        )
+        monkeypatch.setenv("POSFEAT_HEAD_STATS", "gram")
+        got_g = _run_fused(args, "v3")
+        monkeypatch.setenv("POSFEAT_HEAD_STATS", "xla")
+        got_x = _run_fused(args, "v3")
+        scale = np.abs(got_x).mean()
+        assert np.abs(got_g - got_x).max() < rtol * scale, (
+            dt, np.abs(got_g - got_x).max(), scale,
+        )

@@ -67,6 +67,13 @@ VARIANTS = {
     # permissive. The missing cell: end AT the measured 1 px optimum
     # instead of past it.
     "a2to1": (10, 200, 5e-3, 8, 2, -0.001, 1, 8),
+    # sweep-4: 1.5x budget for the winning curriculum shape — a longer
+    # permissive phase before the same 2->0.5 anneal (decay@12)
+    "h15_a2to05": (15, 200, 5e-3, 12, 2, -0.001, 0.5, 12),
+    # sweep-4: anneal continuously across the WHOLE schedule instead of
+    # front-loading epochs at a fixed start threshold (final thr reached
+    # at epoch 1+anneal_epochs = 10)
+    "ramp2to05": (10, 200, 5e-3, 8, 2, -0.001, 0.5, 9),
 }
 
 
