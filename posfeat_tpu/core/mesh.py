@@ -49,6 +49,22 @@ def init_multihost(cfg) -> int:
     return jax.process_index()
 
 
+def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier (pure gRPC — no device collective).
+
+    Used to line processes up before the first SPMD step executes: the
+    gloo/ICI collective context has a short join window (~30 s), while
+    per-process jit compile times can skew by minutes on loaded or
+    heterogeneous hosts. Waiting here instead means the skew is absorbed
+    by a generous barrier timeout rather than failing the first
+    all-reduce. No-op when jax.distributed isn't initialized."""
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def data_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices), ("data",))

@@ -414,6 +414,13 @@ class Trainer:
         tb_keys = cfg.get("tb_component", [])
         key = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
 
+        if self.num_processes > 1:
+            # absorb per-process init/IO skew behind a generous
+            # coordination-service barrier instead of eating into the
+            # first all-reduce's short collective-join window
+            from ..core.mesh import multihost_barrier
+
+            multihost_barrier("trainer_start")
         if self.start_epoch == 1:
             self.save_checkpoint(0)
         data_iter = iter(self.train_loader)
