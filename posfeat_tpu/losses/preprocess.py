@@ -100,8 +100,36 @@ class Preprocess_Line2Window:
 
         # dense grid correlation -> expected locations (preprocess.py:59-81)
         cos_sim = _bmm(feat1_fine, feat2_fine)  # [B, m, n]
-        p12 = jax.nn.softmax(temperature * cos_sim, axis=2)
-        p21 = jax.nn.softmax(temperature * cos_sim, axis=1)
+        # match_prob selects how the correlation becomes a probability:
+        # 'softmax' (default, reference compute_prob putils:89-115) or
+        # the reference's alternative matchers (putils:117-194 — defined
+        # there but left unwired): a JOINT matrix from Sinkhorn OT
+        # (plain / dustbin-augmented) or dual-softmax, conditioned per
+        # row/column for the two directed expectations.
+        match_prob = self.config.get("match_prob", "softmax")
+        if match_prob == "softmax":
+            p12 = jax.nn.softmax(temperature * cos_sim, axis=2)
+            p21 = jax.nn.softmax(temperature * cos_sim, axis=1)
+        else:
+            from ..ops.correlation import (
+                dual_softmax,
+                ot_sinkhorn_log,
+                ot_sinkhorn_log_unmatch,
+            )
+
+            fn = {
+                "ot_sinkhorn": ot_sinkhorn_log,
+                "ot_sinkhorn_unmatch": ot_sinkhorn_log_unmatch,
+                "dual_softmax": dual_softmax,
+            }[match_prob]
+            joint, _ = fn(
+                -cos_sim,
+                iters=int(self.config.get("sinkhorn_iters", 20)),
+                temperature=temperature,
+            )
+            joint = jnp.clip(joint, 1e-12, None)
+            p12 = joint / joint.sum(axis=2, keepdims=True)
+            p21 = joint / joint.sum(axis=1, keepdims=True)
         feat1g_corloc = jnp.sum(p12[..., None] * coord2[:, None, :, :], axis=2)
         feat2g_corloc = jnp.sum(p21[..., None] * coord1[:, :, None, :], axis=1)
 

@@ -610,3 +610,26 @@ def test_output_img_dumps(tmp_path):
     # the npz contract is unaffected by the extra vis fetch
     f = np.load(str(tmp_path / "ckpts/hp/vis_smoke/desc/i_fake0/1.ppm.v"))
     assert set(f.files) == {"keypoints", "scores", "descriptors"}
+
+
+@pytest.mark.parametrize(
+    "match_prob", ["ot_sinkhorn", "ot_sinkhorn_unmatch", "dual_softmax"]
+)
+def test_stage1_alternative_matchers(tmp_path, match_prob):
+    """The reference defines OT-Sinkhorn and dual-softmax matchers
+    (putils:117-194) but never wires them; here `match_prob` in the
+    preprocess config routes the grid correlation through them. A short
+    stage-1 run must train to a finite loss with each."""
+    from posfeat_tpu.train import Trainer
+
+    cfg = _train_config(tmp_path, "desc")
+    cfg["checkpoint_name"] = f"smoke_{match_prob}"
+    cfg["preprocess_train_config"]["match_prob"] = match_prob
+    cfg["preprocess_train_config"]["sinkhorn_iters"] = 5
+    t = Trainer(cfg, ckpt_root=str(tmp_path / "ckpts"))
+    t.train()
+    import json
+
+    with open(str(tmp_path / f"ckpts/smoke_{match_prob}/metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert recs and np.isfinite(recs[-1]["total_loss"])
