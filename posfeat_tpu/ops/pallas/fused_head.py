@@ -458,14 +458,12 @@ def fused_head_tail(
     tri = os.environ.get("POSFEAT_HEAD_TRIPLE", "0") == "1" and mode == "v3"
     # im2col: single-matmul trunk conv (9 shifted views lane-concatenated
     # with the TRUE 192-channel count). 2.22 vs 2.46 ms/img in the head
-    # A/B. Default OFF pending device-level numeric validation: the
-    # operand build needs lane slices at non-128-aligned offsets (192,
-    # 384, ...) and a 9-piece lane concat — known Mosaic hazard shapes —
-    # and the only full-program probe that flagged it (top-k overlap
-    # 0.14 vs f32) was later shown ill-conditioned (pure-dtype f32-vs-
-    # bf16 churns to the same 0.14 on random-init weights; see
-    # tools/selection_stability.py). Enable after a matched-dtype
-    # kernel-level parity run on real TPU.
+    # A/B. The env default stays OFF because the operand build uses
+    # non-128-aligned lane slices + a 9-piece lane concat (historical
+    # Mosaic hazard shapes), but the gate CLEARED its device validation
+    # 2026-08-19 (kernel-level match to v3 at 0.0037 max / 0.000000
+    # mean; full-model score maps identical — runbook 53) and ships in
+    # the certified lite/ship sets (bench.py, Extractor fast_mode).
     im2col = (
         os.environ.get("POSFEAT_HEAD_IM2COL", "0") == "1" and mode == "v3"
     )
