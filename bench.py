@@ -259,6 +259,7 @@ def main():
         ("64:bf16", 64, jnp.bfloat16, None, False),  # raw diagnostic
         ("16:bf16:lite", 16, jnp.bfloat16, LITE_ENV, True),
         ("32:bf16:lite", 32, jnp.bfloat16, LITE_ENV, True),
+        ("64:bf16:lite", 64, jnp.bfloat16, LITE_ENV, True),
         ("16:bf16:ship", 16, jnp.bfloat16, SHIP_ENV, True),
         ("32:bf16:ship", 32, jnp.bfloat16, SHIP_ENV, True),
     ]
@@ -270,7 +271,7 @@ def main():
     # the driver's capture a ~5-12 min cold-cache remote compile.
     default_skip = {
         "1:f32", "1:bf16", "16:f32", "16:bf16", "32:bf16", "64:bf16",
-        "16:bf16:ship", "32:bf16:ship",
+        "64:bf16:lite", "16:bf16:ship", "32:bf16:ship",
     }
     if backend == "cpu":  # keep CI fast
         configs = [("1:f32", 1, jnp.float32, None, True)]

@@ -25,7 +25,7 @@ def _run(env_extra):
 def test_fast_sets_lite_gates():
     got = _run({"POSFEAT_FAST": "1"})
     assert got == {
-        "POSFEAT_SAMPLE_IMPL": "pair",
+        "POSFEAT_SAMPLE_IMPL": "quad",
         "POSFEAT_TOPK": "approx",
         "POSFEAT_HEAD_RING": "0",
         "POSFEAT_HEAD_IM2COL": "1",
@@ -35,7 +35,7 @@ def test_fast_sets_lite_gates():
 def test_explicit_knob_beats_fast():
     got = _run({"POSFEAT_FAST": "1", "POSFEAT_TOPK": "exact"})
     assert got["POSFEAT_TOPK"] == "exact"
-    assert got["POSFEAT_SAMPLE_IMPL"] == "pair"
+    assert got["POSFEAT_SAMPLE_IMPL"] == "quad"
 
 
 def test_default_leaves_knobs_unset():
