@@ -57,7 +57,10 @@ def truncate_dir(src, dst, postfix, n_for):
         )
 
 
-def mma3(desc_dir, postfix, data_root):
+def mma_bands(desc_dir, postfix, data_root, thrs=(1, 2, 3, 5)):
+    """MMA at several px thresholds — the localization-band
+    decomposition: gap concentrated at tight thresholds = sub-pixel
+    localization; gap surviving at loose ones = match coverage/ranking."""
     from posfeat_tpu.evals import hpatches as hp
 
     seqs = sorted(os.listdir(data_root))
@@ -66,8 +69,14 @@ def mma3(desc_dir, postfix, data_root):
     errors = hp.benchmark_features(
         hp.generate_read_function(desc_dir, postfix), data_root
     )
-    o3, _, _ = hp.mma_at(errors, 3, n_i=n_i, n_v=n_v)
-    return float(o3)
+    return {
+        f"mma{t}": round(float(hp.mma_at(errors, t, n_i=n_i, n_v=n_v)[0]), 4)
+        for t in thrs
+    }
+
+
+def mma3(desc_dir, postfix, data_root):
+    return mma_bands(desc_dir, postfix, data_root, thrs=(3,))["mma3"]
 
 
 def main():
@@ -86,7 +95,7 @@ def main():
     mean_n = float(np.mean(list(sift_counts.values())))
 
     print(json.dumps({"eval": "sift_arm", "mean_kpts": round(mean_n, 1),
-                      "mma3": round(mma3(args.sift, args.postfix, args.data), 4)}),
+                      **mma_bands(args.sift, args.postfix, args.data)}),
           flush=True)
 
     work = tempfile.mkdtemp(prefix="bmatch_")
@@ -97,7 +106,7 @@ def main():
                      lambda rel: sift_counts[rel])
         print(json.dumps({"eval": "learned_matched_budget",
                           "mean_kpts": round(mean_n, 1),
-                          "mma3": round(mma3(d, args.postfix, args.data), 4)}),
+                          **mma_bands(d, args.postfix, args.data)}),
               flush=True)
         # fixed-budget ladder (density slope)
         for n in (int(x) for x in args.ladder.split(",") if x):
