@@ -76,9 +76,17 @@ VARIANTS = {
     "ramp2to05": (10, 200, 5e-3, 8, 2, -0.001, 0.5, 9),
 }
 
+# per-variant DiskLoss_config overrides beyond the positional tuple
+# (sweep-5 lever: proposal cell size — smaller cells = denser proposals
+# and finer spatial selection resolution, 4x the REINFORCE pairs)
+EXTRAS = {
+    "cell4_a2to05": ("a2to05", {"grid_size": 4}),
+    "cell16_a2to05": ("a2to05", {"grid_size": 16}),
+}
+
 
 def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
-              thr_final=None, anneal_epochs=0):
+              thr_final=None, anneal_epochs=0, disk_extras=None):
     cfg = copy.deepcopy(train_config(work, "kp", steps, load_path=ck1))
     cfg["checkpoint_name"] = f"kp_{name}"
     cfg["epoch"] = epochs
@@ -92,6 +100,7 @@ def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
             anneal_epochs
         )
     cfg["DiskLoss_config"]["kp_penalty"] = kpen
+    cfg["DiskLoss_config"].update(disk_extras or {})
     return cfg
 
 
@@ -118,9 +127,10 @@ def main():
 
     results = {"sift_arm": sift3}
     for name in args.variants.split(","):
-        epochs, steps, lr, decay_at, rthr, kpen, *anneal = VARIANTS[name]
+        base, extras = EXTRAS.get(name, (name, None))
+        epochs, steps, lr, decay_at, rthr, kpen, *anneal = VARIANTS[base]
         cfg = kp_config(work, name, args.ckpt1, epochs, steps, lr,
-                        decay_at, rthr, kpen, *anneal)
+                        decay_at, rthr, kpen, *anneal, disk_extras=extras)
         Trainer(cfg, ckpt_root=os.path.join(work, "ckpts")).train()
         ck2 = os.path.join(work, "ckpts", f"kp_{name}", f"{epochs:03d}")
         rec = {"variant": name, "epochs": epochs, "steps": steps, "lr": lr,
