@@ -76,17 +76,30 @@ VARIANTS = {
     "ramp2to05": (10, 200, 5e-3, 8, 2, -0.001, 0.5, 9),
 }
 
-# per-variant DiskLoss_config overrides beyond the positional tuple
-# (sweep-5 lever: proposal cell size — smaller cells = denser proposals
-# and finer spatial selection resolution, 4x the REINFORCE pairs)
+# per-variant overrides beyond the positional tuple: (base_variant,
+# DiskLoss_config overrides, top-level config overrides). Levers:
+# proposal cell size (smaller cells = denser proposals, 4x REINFORCE
+# pairs, finer selection granularity) and the PRNG seed (REINFORCE
+# trajectories carry real seed-to-seed noise — the r4 trainer-harness
+# change shifted single-seed cells by ~0.03 MMA, so replicates gate any
+# small-delta conclusion).
 EXTRAS = {
-    "cell4_a2to05": ("a2to05", {"grid_size": 4}),
-    "cell16_a2to05": ("a2to05", {"grid_size": 16}),
+    "cell4_a2to05": ("a2to05", {"grid_size": 4}, None),
+    "cell4_ramp2to05": ("ramp2to05", {"grid_size": 4}, None),
+    "ramp2to05_s1": ("ramp2to05", None, {"seed": 1}),
+    "a2to05_s1": ("a2to05", None, {"seed": 1}),
 }
+
+# sweep-5 localization cell: the budget-matched band decomposition puts
+# the WHOLE SIFT gap below 3 px (learned wins at 5 px), so push the
+# anneal endpoint further into the sub-noise band
+VARIANTS["a2to025"] = (10, 200, 5e-3, 8, 2, -0.001, 0.25, 8)
+VARIANTS["ramp2to025"] = (10, 200, 5e-3, 8, 2, -0.001, 0.25, 9)
 
 
 def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
-              thr_final=None, anneal_epochs=0, disk_extras=None):
+              thr_final=None, anneal_epochs=0, disk_extras=None,
+              cfg_extras=None):
     cfg = copy.deepcopy(train_config(work, "kp", steps, load_path=ck1))
     cfg["checkpoint_name"] = f"kp_{name}"
     cfg["epoch"] = epochs
@@ -101,6 +114,7 @@ def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
         )
     cfg["DiskLoss_config"]["kp_penalty"] = kpen
     cfg["DiskLoss_config"].update(disk_extras or {})
+    cfg.update(cfg_extras or {})
     return cfg
 
 
@@ -127,10 +141,11 @@ def main():
 
     results = {"sift_arm": sift3}
     for name in args.variants.split(","):
-        base, extras = EXTRAS.get(name, (name, None))
+        base, extras, cextras = EXTRAS.get(name, (name, None, None))
         epochs, steps, lr, decay_at, rthr, kpen, *anneal = VARIANTS[base]
         cfg = kp_config(work, name, args.ckpt1, epochs, steps, lr,
-                        decay_at, rthr, kpen, *anneal, disk_extras=extras)
+                        decay_at, rthr, kpen, *anneal, disk_extras=extras,
+                        cfg_extras=cextras)
         Trainer(cfg, ckpt_root=os.path.join(work, "ckpts")).train()
         ck2 = os.path.join(work, "ckpts", f"kp_{name}", f"{epochs:03d}")
         rec = {"variant": name, "epochs": epochs, "steps": steps, "lr": lr,
