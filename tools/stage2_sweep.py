@@ -96,6 +96,15 @@ EXTRAS = {
 VARIANTS["a2to025"] = (10, 200, 5e-3, 8, 2, -0.001, 0.25, 8)
 VARIANTS["ramp2to025"] = (10, 200, 5e-3, 8, 2, -0.001, 0.25, 9)
 
+# sweep-6 localization lever: the reference's UNUSED continuous reward
+# (kploss.py:91-130, exp(-d/tau) shaping) gives REINFORCE a direct
+# per-pixel localization gradient instead of the binary threshold the
+# band decomposition indicts; tau rides the reward_thr slot (XLA loss
+# path — the streaming Pallas kernel covers constant_reward only)
+EXTRAS["dyn2"] = ("hot10x200", {"epipolar_reward": "dynamic_reward"}, None)
+EXTRAS["dyn1"] = ("hot10_rt1", {"epipolar_reward": "dynamic_reward"}, None)
+EXTRAS["dyn2to05"] = ("a2to05", {"epipolar_reward": "dynamic_reward"}, None)
+
 
 def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
               thr_final=None, anneal_epochs=0, disk_extras=None,
