@@ -98,6 +98,63 @@ def _quad_refine_grids(kp_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([kx, ky], axis=-1).astype(kp_map.dtype)
 
 
+def _quad5_filters():
+    """Savitzky-Golay 5x5 filters for the 6 quadratic-surface
+    coefficients s ~ a·x² + b·y² + c·xy + d·x + e·y + f (least squares
+    over the window; each coefficient is a fixed linear filter)."""
+    import numpy as np
+
+    xs, ys = np.meshgrid(np.arange(-2, 3), np.arange(-2, 3))
+    X = np.stack(
+        [xs**2, ys**2, xs * ys, xs, ys, np.ones_like(xs)], axis=-1
+    ).reshape(25, 6).astype(np.float64)
+    F = np.linalg.pinv(X)  # [6, 25]
+    return jnp.asarray(F.reshape(6, 5, 5), jnp.float32)
+
+
+def _quad5_refine_grids(kp_map: jnp.ndarray) -> jnp.ndarray:
+    """Dense 5x5 least-squares quadratic sub-pixel peak fit
+    (``refine='quad5'``).
+
+    Motivated by the budget-matched band decomposition (PROOFS.md,
+    2026-08-20): the learned detector's whole SIFT gap is sub-3 px
+    localization, and the head's ×4 upsample gives score peaks a wide
+    support that a 3×3 central-difference fit (``'quad'``) can barely
+    see across. Fitting the quadratic by least squares over 5×5
+    averages the plateau noise and reads the true curvature; offsets
+    clamp to ±1 px (a 3×3-NMS winner's true peak lies within one
+    pixel). Falls back to the pixel center where the fitted Hessian is
+    not a well-conditioned local max. Returns the refined
+    normalized-coordinate map [B, H-2, W-2, 2], aligned with the
+    interior crop (the outermost ring uses edge-replicated context).
+    """
+    B, H, W, _ = kp_map.shape
+    s = kp_map[..., 0].astype(jnp.float32)
+    # edge-replicate so every interior pixel has a full 5x5 window
+    sp = jnp.pad(s, ((0, 0), (2, 2), (2, 2)), mode="edge")[..., None]
+    F = _quad5_filters()  # [6, 5, 5]
+    coeffs = jax.lax.conv_general_dilated(
+        sp,
+        F.transpose(1, 2, 0)[:, :, None, :],  # [5,5,1,6]
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, H, W, 6]
+    a, b, c, d, e = (coeffs[..., i] for i in range(5))
+    det = 4.0 * a * b - c * c
+    ok = (det > 1e-12) & (a < 0.0)
+    safe = jnp.where(ok, det, 1.0)
+    ox = jnp.where(ok, -(2.0 * b * d - c * e) / safe, 0.0)
+    oy = jnp.where(ok, -(2.0 * a * e - c * d) / safe, 0.0)
+    ox = jnp.clip(ox, -1.0, 1.0)[:, 1:-1, 1:-1]
+    oy = jnp.clip(oy, -1.0, 1.0)[:, 1:-1, 1:-1]
+    jj = jnp.arange(1, W - 1, dtype=jnp.float32)
+    ii = jnp.arange(1, H - 1, dtype=jnp.float32)
+    kx = -1.0 + 2.0 * (jj[None, None, :] + ox) / (W - 1)
+    ky = -1.0 + 2.0 * (ii[None, :, None] + oy) / (H - 1)
+    return jnp.stack([kx, ky], axis=-1).astype(kp_map.dtype)
+
+
 def generate_kpts_single(
     kp_map: jnp.ndarray,
     *,
@@ -175,9 +232,13 @@ def generate_kpts_single(
         and stable
         and os.environ.get("POSFEAT_TOPK") == "approx"
     )
-    refine_quad = refine == "quad" and stride == 1
+    refine_quad = refine in ("quad", "quad5") and stride == 1
     if refine_quad:
-        grids = _quad_refine_grids(kp_map)
+        grids = (
+            _quad5_refine_grids(kp_map)
+            if refine == "quad5"
+            else _quad_refine_grids(kp_map)
+        )
     else:
         grids_org = gen_grid(
             -1, 1, -1, 1, H, W, dtype=kp_map.dtype

@@ -305,3 +305,31 @@ def test_approx_score_from_topk(rng, monkeypatch):
         np.testing.assert_allclose(
             got[b][interior], refmax[interior], rtol=2e-5, atol=1e-6
         )
+
+
+def test_quad5_refine_contract():
+    """refine='quad5' (5x5 least-squares quadratic fit): recovers known
+    sub-pixel peaks far better than avg3, stays finite on degenerate
+    maps, and matches quad/avg3's output contract."""
+    H, W = 48, 64
+    peaks = [(20.3, 31.7), (10.6, 12.2), (35.2, 50.8), (40.45, 8.75)]
+    yy, xx = np.mgrid[0:H, 0:W]
+    m = np.zeros((H, W), np.float32)
+    for py, px in peaks:
+        m += np.exp(-((yy - py) ** 2 + (xx - px) ** 2) / (2 * 1.5**2))
+    kp_map = jnp.asarray(m[None, :, :, None] + 0.01)
+    errs = {}
+    for refine in ("avg3", "quad5"):
+        det = _detect_px(kp_map, len(peaks), refine)
+        e = [min(np.hypot(det[:, 0] - px, det[:, 1] - py)) for py, px in peaks]
+        errs[refine] = float(np.mean(e))
+    assert errs["quad5"] < 0.12, errs
+    assert errs["quad5"] < 0.5 * errs["avg3"], errs
+    # degenerate surfaces: flat, linear ramp -> finite, inside the image
+    for mm in (np.ones((H, W), np.float32), (xx + 2.0 * yy).astype(np.float32)):
+        kps, score, valid = generate_kpts_single(
+            jnp.asarray(mm[None, :, :, None]), num_pts=16, nms_radius=1,
+            use_nms=True, refine="quad5",
+        )
+        assert np.isfinite(np.asarray(kps)).all()
+        assert (np.abs(np.asarray(kps)) <= 1.0 + 1e-6).all()
