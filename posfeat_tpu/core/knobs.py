@@ -27,7 +27,6 @@ TRACE_KNOBS = (
     "POSFEAT_DESC_TAIL_F32",
     "POSFEAT_SCORE_F32",
     "POSFEAT_DECODER_ACCUM",
-    "POSFEAT_STEM",
     "POSFEAT_HEAD_MODE",
     "POSFEAT_HEAD_STATS",
     "POSFEAT_HEAD_IM2COL",

@@ -107,61 +107,6 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
-class _RawKernel(nn.Module):
-    """Bare conv-kernel parameter with nn.Conv's tree path and init, so
-    alternative dataflows can evaluate the SAME checkpoint weights."""
-
-    shape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return self.param(
-            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
-        )
-
-
-def _stem_conv(x, dtype):
-    """7x7/s2 stem conv; POSFEAT_STEM=s2d selects the space-to-depth
-    dataflow (trace-time knob, core/knobs.py).
-
-    The equivalence is exact tap-for-tap: with the 2x2-packed input
-    X2[p,q,(dy,dx,c)] = x[2p+dy, 2q+dx, c], the output is a 4x4 STRIDE-1
-    conv whose kernel is the phase split of the 1-front-padded 7x7
-    kernel — K2[a,b,dy,dx] = Kpad[2a+dy, 2b+dx], receptive offsets
-    -2..+1 (asymmetric (2,1) padding). Taps that fall outside the 7x7
-    kernel hit Kpad's zeros, reproducing the zero-pad border. Avoids the
-    stride-2 3-channel conv's poor TPU lowering; same 'firstconv/kernel'
-    parameter either way."""
-    import os
-
-    if os.environ.get("POSFEAT_STEM") != "s2d":
-        return _conv(64, 7, 2, dtype, "firstconv")(x)
-    kernel = _RawKernel((7, 7, 3, 64), name="firstconv")()
-    B, H, W, C = x.shape
-    if H % 2 or W % 2:  # zero-pad to even = the conv's own zero pad
-        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
-        H, W = H + H % 2, W + W % 2
-    x2 = (
-        x.reshape(B, H // 2, 2, W // 2, 2, C)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, H // 2, W // 2, 4 * C)
-    )
-    kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,3,64]
-    k2 = (
-        kp.reshape(4, 2, 4, 2, 3, 64)
-        .transpose(0, 2, 1, 3, 4, 5)
-        .reshape(4, 4, 12, 64)
-    )
-    return jax.lax.conv_general_dilated(
-        x2.astype(dtype),
-        k2.astype(dtype),
-        (1, 1),
-        [(2, 1), (2, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
 class ResNetEncoder(nn.Module):
     """torchvision-compatible ResNet stem + layers 1-3 (DescNet.py:27-35)."""
 
@@ -171,7 +116,7 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_kind, counts, width_mult = _ENCODERS[self.encoder]
-        x = _stem_conv(x, self.dtype)
+        x = _conv(64, 7, 2, self.dtype, "firstconv")(x)
         x = _bn(train, self.dtype, "firstbn")(x)
         x = nn.relu(x)
         x_first = nn.max_pool(

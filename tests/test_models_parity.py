@@ -485,29 +485,3 @@ def test_conv_split3_matches_true_f32():
     # 2-pass corrects activations only; weight rounding (~2^-8) remains
     assert d3 < d2, (d3, d2)
 
-
-def test_stem_s2d_matches_conv(monkeypatch):
-    """POSFEAT_STEM=s2d evaluates the same firstconv weights through the
-    space-to-depth 4x4/s1 dataflow — exact tap-for-tap, incl. zero-pad
-    borders and odd input sizes (padded to even)."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    from posfeat_tpu.models.resunet import ResNetEncoder
-
-    rng = np.random.RandomState(7)
-    for H, W in ((64, 96), (63, 95)):
-        x = jnp.asarray(rng.randn(2, H, W, 3).astype(np.float32))
-        enc = ResNetEncoder(encoder="resnet18", dtype=jnp.float32)
-        monkeypatch.delenv("POSFEAT_STEM", raising=False)
-        v = enc.init(jax.random.PRNGKey(0), x)
-        ref = enc.apply(v, x)[0]
-        monkeypatch.setenv("POSFEAT_STEM", "s2d")
-        # same param tree: init under s2d must produce identical paths
-        v2 = enc.init(jax.random.PRNGKey(0), x)
-        assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
-        got = enc.apply(v, x)[0]
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
-        )
