@@ -450,6 +450,7 @@ class Trainer:
 
     def _train_epochs(self, n_epochs, log_freq, ckpt_freq, tb_keys, key,
                       data_iter, global_step, timer, trace_dir):
+        first_mh_step = self.num_processes > 1
         for epoch in range(self.start_epoch, n_epochs + 1):
             step_fn = self._build_step(epoch)
             t_epoch = time.time()
@@ -461,6 +462,24 @@ class Trainer:
                     self.mesh,
                 )
                 key, sub = jax.random.split(key)
+
+                if first_mh_step:
+                    # multihost: compile AHEAD of executing — the first
+                    # all-reduce creates the cross-process collective
+                    # context, whose join window (~30 s for gloo) is
+                    # shorter than per-process jit-compile skew can be
+                    # on loaded hosts. AOT-compiling here populates the
+                    # persistent compile cache, and the barrier lines
+                    # all processes up BEFORE the jitted call (which
+                    # then loads from cache in seconds).
+                    from ..core.mesh import multihost_barrier
+
+                    step_fn.lower(
+                        self.trainable, self.opt_state, self.variables,
+                        batch, sub,
+                    ).compile()
+                    multihost_barrier("first_step_compiled")
+                    first_mh_step = False
 
                 (
                     self.trainable,
