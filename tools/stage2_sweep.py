@@ -169,11 +169,12 @@ def main():
             rec[f"mma3_n{n_pts}"] = round(m3, 4)
         # Taylor sub-pixel refinement arm (ops/detect.py refine='quad'):
         # same checkpoint/selection, sharper eval-time localization
-        m3q, _ = extract_and_mma(
-            f"{name}_n128_quad", data_root, work, ck2, num_pts=128,
-            detector_extra={"refine": "quad"},
-        )
-        rec["mma3_n128_quad"] = round(m3q, 4)
+        for rf in ("quad", "quad5"):
+            m3q, _ = extract_and_mma(
+                f"{name}_n128_{rf}", data_root, work, ck2, num_pts=128,
+                detector_extra={"refine": rf},
+            )
+            rec[f"mma3_n128_{rf}"] = round(m3q, 4)
         print(json.dumps(rec), flush=True)
         results[name] = rec
     return results
