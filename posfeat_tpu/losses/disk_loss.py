@@ -23,6 +23,19 @@ from ..ops.samplers import (
 )
 
 
+def _gather_at_pixels(dense: jnp.ndarray, coord: jnp.ndarray) -> jnp.ndarray:
+    """Gather a dense [B, H, W, C] map at integer pixel coords [B, k, 2]
+    (x, y). The coords come from cell_coords_pixel so they are exact
+    integers; gradients flow into `dense` (scatter-add on backward)."""
+    B, H, W, C = dense.shape
+    xi = coord[..., 0].astype(jnp.int32)
+    yi = coord[..., 1].astype(jnp.int32)
+    flat = (yi * W + xi)[..., None]  # [B, k, 1]
+    return jnp.take_along_axis(
+        dense.reshape(B, H * W, C), jnp.broadcast_to(flat, (*flat.shape[:2], C)), axis=1
+    )
+
+
 def _bmm(a, b):
     return jax.lax.dot_general(
         a, b,
@@ -45,6 +58,21 @@ class DiskLoss:
         self.good_reward = configs["good_reward"]
         self.bad_reward = configs["bad_reward"]
         self.kp_penalty = configs["kp_penalty"]
+        # Training-side sub-pixel localization levers (VERDICT r4 item 1;
+        # the budget-matched band decomposition in PROOFS.md shows the
+        # whole learned-vs-SIFT gap is sub-3 px localization while
+        # selection is already SIFT-superior). Both default OFF —
+        # reference parity (kploss.py:37-48 rewards integer positions).
+        #   reward_at_refined: evaluate the epipolar reward at the
+        #     quad-refined (stop-grad) sample coordinates, i.e. at the
+        #     positions a refine='quad' extraction actually emits.
+        #   loc_weight/loc_temperature: differentiable soft-argmax
+        #     localization penalty — epipolar distance of each accepted
+        #     good pair at its 3×3 soft-peak position, weighted by the
+        #     detached match probability.
+        self.reward_at_refined = configs.get("reward_at_refined", False)
+        self.loc_weight = configs.get("loc_weight", 0.0)
+        self.loc_temperature = configs.get("loc_temperature", 20.0)
 
     def name(self):
         return self.__lossname__
@@ -115,6 +143,8 @@ class DiskLoss:
             and not self.config["match_grad"]
             and self.reward_name == "constant_reward"
             and not self.config["reward_config"].get("rescale_thr", False)
+            and not self.reward_at_refined
+            and not self.loc_weight
         )
         if mode == "interpret":
             return "interpret" if eligible else False
@@ -257,7 +287,19 @@ class DiskLoss:
         )
 
         reward_fn = getattr(self, self.reward_name)
-        reward, scale1, scale2 = reward_fn(inputs, coord1, coord2, **rcfg)
+        rcoord1, rcoord2 = coord1, coord2
+        if self.reward_at_refined:
+            # reward what extraction emits: quad-refined peak positions
+            # (stop-grad — the reward path carries no gradient anyway)
+            from ..ops.detect import quad_refine_offsets
+
+            rcoord1 = coord1 + jax.lax.stop_gradient(
+                _gather_at_pixels(quad_refine_offsets(kp_map1), coord1)
+            )
+            rcoord2 = coord2 + jax.lax.stop_gradient(
+                _gather_at_pixels(quad_refine_offsets(kp_map2), coord2)
+            )
+        reward, scale1, scale2 = reward_fn(inputs, rcoord1, rcoord2, **rcfg)
 
         logp1f = logp1.reshape(b, -1)
         logp2f = logp2.reshape(b, -1)
@@ -273,6 +315,32 @@ class DiskLoss:
         )
 
         loss = -reinforce - kp_penalty
+
+        loc_pen = jnp.zeros((), jnp.float32)
+        if self.loc_weight:
+            # Differentiable localization: each accepted pair that is
+            # epipolar-consistent at its soft-argmax peak position gets
+            # its refined-coordinate epipolar distance penalized,
+            # weighted by the detached match probability. The gradient
+            # flows only through the soft offsets into the score maps,
+            # sharpening peaks toward sub-pixel-accurate positions.
+            from ..ops.detect import softargmax3_offsets
+
+            lcoord1 = coord1 + _gather_at_pixels(
+                softargmax3_offsets(kp_map1, self.loc_temperature), coord1
+            )
+            lcoord2 = coord2 + _gather_at_pixels(
+                softargmax3_offsets(kp_map2, self.loc_temperature), coord2
+            )
+            d1r, d2r = self._epipolar_dists(inputs, lcoord1, lcoord2)
+            thr = rcfg["reward_thr"]
+            good_loc = jax.lax.stop_gradient(
+                ((d1r < thr) & (d2r < thr)).astype(jnp.float32)
+            )
+            w_pair = accept_mask * good_loc * jax.lax.stop_gradient(sample_p)
+            denom = jnp.clip(jax.lax.stop_gradient(w_pair.sum()), 1.0, None)
+            loc_pen = jnp.sum(w_pair * (d1r + d2r)) / denom
+            loss = loss + self.loc_weight * loc_pen
 
         sp = jax.lax.stop_gradient(sample_p)
         components = {
@@ -291,4 +359,6 @@ class DiskLoss:
             "temperature": jnp.asarray(temperature, jnp.float32),
             "reward_thr": jnp.asarray(rcfg["reward_thr"], jnp.float32),
         }
+        if self.loc_weight:
+            components["loc_pen"] = jax.lax.stop_gradient(loc_pen)
         return loss, components

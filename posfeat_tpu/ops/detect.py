@@ -54,22 +54,17 @@ def _thr_mask(interior: jnp.ndarray, thr, thr_mod: str) -> jnp.ndarray:
     return interior > thr * kp_thr.reshape(B, 1, 1, 1)
 
 
-def _quad_refine_grids(kp_map: jnp.ndarray) -> jnp.ndarray:
-    """Dense SIFT-style quadratic (Taylor) sub-pixel peak fit.
+def quad_refine_offsets(kp_map: jnp.ndarray) -> jnp.ndarray:
+    """Dense quadratic-fit sub-pixel offset map [B, H, W, 2] in pixels.
 
-    For every interior pixel, fits s(x) ≈ s + gᵀδ + ½δᵀHδ to the 3×3
-    neighborhood via central differences and solves H·δ = −g; the
-    offset is clamped to ±0.5 px (the NMS winner is the discrete
-    argmax, so the true peak lies within half a pixel) and zeroed where
-    the Hessian is not a well-conditioned local max. This is the
-    classical sharper estimator than the reference's 3×3 center-of-mass
-    (putils:242-247), which biases toward the window center; exposed as
-    ``refine='quad'`` in detector_config (opt-in — the default stays
-    reference-parity 'avg3').
-
-    Returns the refined normalized-coordinate map [B, H-2, W-2, 2],
-    index-aligned with the interior crop. Math in f32 (the derivatives
-    are differences of near-equal values).
+    The interior offsets are the SIFT-style Taylor peak fit of
+    `_quad_refine_grids` (clamped to ±0.5 px, zeroed where the Hessian
+    is not a well-conditioned local max); the 1-px border ring is zero
+    (no full 3×3 support). Used both by the eval-time ``refine='quad'``
+    detector path and by DiskLoss's ``reward_at_refined`` lever, which
+    computes the epipolar REINFORCE reward at the coordinates
+    extraction would actually emit (VERDICT r4 item 1a; reference
+    kploss.py:37-48 rewards the integer sample positions).
     """
     B, H, W, _ = kp_map.shape
     s = kp_map[..., 0].astype(jnp.float32)  # [B, H, W]
@@ -91,6 +86,62 @@ def _quad_refine_grids(kp_map: jnp.ndarray) -> jnp.ndarray:
     oy = jnp.where(ok, -(dxx * dy - dxy * dx) / safe_det, 0.0)
     ox = jnp.clip(ox, -0.5, 0.5)
     oy = jnp.clip(oy, -0.5, 0.5)
+    off = jnp.stack([ox, oy], axis=-1)  # [B, H-2, W-2, 2]
+    return jnp.pad(off, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def softargmax3_offsets(kp_map: jnp.ndarray, temperature: float) -> jnp.ndarray:
+    """Differentiable 3×3 soft-argmax offset map [B, H, W, 2] in pixels.
+
+    Per pixel, the expected offset of a softmax(temperature·score)
+    distribution over its 3×3 neighborhood (edge-replicated at the
+    border). Unlike `quad_refine_offsets` this is differentiable w.r.t.
+    the score map, which is what DiskLoss's ``loc_weight`` localization
+    term needs: penalizing the epipolar distance of the soft peak
+    position gives the score surface a dense gradient toward
+    sub-pixel-accurate peaks — the signal REINFORCE's integer-pixel
+    sampling cannot see (VERDICT r4 item 1b).
+    """
+    B, H, W, _ = kp_map.shape
+    s = kp_map[..., 0]
+    sp = jnp.pad(s, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    patches = jnp.stack(
+        [
+            sp[:, 1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ],
+        axis=-1,
+    )  # [B, H, W, 9]; tap order row-major over (dy, dx)
+    w = jax.nn.softmax(temperature * patches, axis=-1)
+    dxs = jnp.asarray([dx for _ in (-1, 0, 1) for dx in (-1, 0, 1)], s.dtype)
+    dys = jnp.asarray([dy for dy in (-1, 0, 1) for _ in (-1, 0, 1)], s.dtype)
+    ox = (w * dxs).sum(-1)
+    oy = (w * dys).sum(-1)
+    return jnp.stack([ox, oy], axis=-1)
+
+
+def _quad_refine_grids(kp_map: jnp.ndarray) -> jnp.ndarray:
+    """Dense SIFT-style quadratic (Taylor) sub-pixel peak fit.
+
+    For every interior pixel, fits s(x) ≈ s + gᵀδ + ½δᵀHδ to the 3×3
+    neighborhood via central differences and solves H·δ = −g; the
+    offset is clamped to ±0.5 px (the NMS winner is the discrete
+    argmax, so the true peak lies within half a pixel) and zeroed where
+    the Hessian is not a well-conditioned local max. This is the
+    classical sharper estimator than the reference's 3×3 center-of-mass
+    (putils:242-247), which biases toward the window center; exposed as
+    ``refine='quad'`` in detector_config (opt-in — the default stays
+    reference-parity 'avg3').
+
+    Returns the refined normalized-coordinate map [B, H-2, W-2, 2],
+    index-aligned with the interior crop. Math in f32 (the derivatives
+    are differences of near-equal values).
+    """
+    B, H, W, _ = kp_map.shape
+    off = quad_refine_offsets(kp_map)[:, 1:-1, 1:-1, :]
+    ox = off[..., 0]
+    oy = off[..., 1]
     jj = jnp.arange(1, W - 1, dtype=jnp.float32)
     ii = jnp.arange(1, H - 1, dtype=jnp.float32)
     kx = -1.0 + 2.0 * (jj[None, None, :] + ox) / (W - 1)

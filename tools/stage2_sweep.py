@@ -105,6 +105,26 @@ EXTRAS["dyn2"] = ("hot10x200", {"epipolar_reward": "dynamic_reward"}, None)
 EXTRAS["dyn1"] = ("hot10_rt1", {"epipolar_reward": "dynamic_reward"}, None)
 EXTRAS["dyn2to05"] = ("a2to05", {"epipolar_reward": "dynamic_reward"}, None)
 
+# r5 sweep (VERDICT r4 item 1): TRAINING-side sub-pixel localization on
+# the replicated champion recipe. qr = epipolar reward computed at the
+# quad-refined sample coordinates (what refine='quad' extraction emits);
+# locN = differentiable soft-argmax localization penalty with weight N
+# (losses/disk_loss.py reward_at_refined / loc_weight).
+EXTRAS["qr_ramp2to05"] = ("ramp2to05", {"reward_at_refined": True}, None)
+EXTRAS["loc1_ramp2to05"] = ("ramp2to05", {"loc_weight": 1.0}, None)
+EXTRAS["loc10_ramp2to05"] = ("ramp2to05", {"loc_weight": 10.0}, None)
+EXTRAS["loc100_ramp2to05"] = ("ramp2to05", {"loc_weight": 100.0}, None)
+EXTRAS["qrloc10_ramp2to05"] = (
+    "ramp2to05",
+    {"reward_at_refined": True, "loc_weight": 10.0},
+    None,
+)
+EXTRAS["loc10t5_ramp2to05"] = (
+    "ramp2to05",
+    {"loc_weight": 10.0, "loc_temperature": 5.0},
+    None,
+)
+
 
 def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
               thr_final=None, anneal_epochs=0, disk_extras=None,
@@ -134,6 +154,12 @@ def main():
     ap.add_argument("--ckpt1", required=True, help="stage-1 checkpoint dir")
     ap.add_argument("--work", default=None)
     ap.add_argument("--variants", default="hot10x200,rt1,kp2,hot10_rt1_kp2")
+    ap.add_argument(
+        "--seeds", type=int, default=1,
+        help="replicates per variant (seed 0..N-1); REINFORCE cells carry "
+        "~±0.03 MMA of single-seed noise (PROOFS.md r4), so any "
+        "small-delta ranking needs N>=3",
+    )
     args = ap.parse_args()
 
     work = args.work or tempfile.mkdtemp(prefix="s2sweep_")
@@ -152,29 +178,55 @@ def main():
     for name in args.variants.split(","):
         base, extras, cextras = EXTRAS.get(name, (name, None, None))
         epochs, steps, lr, decay_at, rthr, kpen, *anneal = VARIANTS[base]
-        cfg = kp_config(work, name, args.ckpt1, epochs, steps, lr,
-                        decay_at, rthr, kpen, *anneal, disk_extras=extras,
-                        cfg_extras=cextras)
-        Trainer(cfg, ckpt_root=os.path.join(work, "ckpts")).train()
-        ck2 = os.path.join(work, "ckpts", f"kp_{name}", f"{epochs:03d}")
         rec = {"variant": name, "epochs": epochs, "steps": steps, "lr": lr,
-               "reward_thr": rthr, "kp_penalty": kpen,
+               "reward_thr": rthr, "kp_penalty": kpen, "seeds": args.seeds,
                "sift_arm_mma3": round(sift3, 4)}
+        if extras:
+            rec["disk_extras"] = extras
         if anneal:
             rec["reward_thr_final"], rec["reward_anneal_epochs"] = anneal
-        for n_pts in (128, 256):
-            m3, _ = extract_and_mma(
-                f"{name}_n{n_pts}", data_root, work, ck2, num_pts=n_pts
-            )
-            rec[f"mma3_n{n_pts}"] = round(m3, 4)
-        # Taylor sub-pixel refinement arm (ops/detect.py refine='quad'):
-        # same checkpoint/selection, sharper eval-time localization
-        for rf in ("quad", "quad5"):
-            m3q, _ = extract_and_mma(
-                f"{name}_n128_{rf}", data_root, work, ck2, num_pts=128,
-                detector_extra={"refine": rf},
-            )
-            rec[f"mma3_n128_{rf}"] = round(m3q, 4)
+        per_seed = {"mma3_n128": [], "mma3_n256": [], "mma3_n128_quad": [],
+                    "mma3_n128_quad5": []}
+        for seed in range(args.seeds):
+            import time as _time
+
+            t0 = _time.time()
+            ce = dict(cextras or {})
+            ce["seed"] = ce.get("seed", 0) + seed
+            run_name = name if args.seeds == 1 else f"{name}_s{seed}"
+            cfg = kp_config(work, run_name, args.ckpt1, epochs, steps, lr,
+                            decay_at, rthr, kpen, *anneal,
+                            disk_extras=extras, cfg_extras=ce)
+            Trainer(cfg, ckpt_root=os.path.join(work, "ckpts")).train()
+            ck2 = os.path.join(work, "ckpts", f"kp_{run_name}",
+                               f"{epochs:03d}")
+            for n_pts in (128, 256):
+                m3, _ = extract_and_mma(
+                    f"{run_name}_n{n_pts}", data_root, work, ck2,
+                    num_pts=n_pts,
+                )
+                per_seed[f"mma3_n{n_pts}"].append(round(m3, 4))
+            # Taylor sub-pixel refinement arms (ops/detect.py refine=):
+            # same checkpoint/selection, sharper eval-time localization
+            for rf in ("quad", "quad5"):
+                m3q, _ = extract_and_mma(
+                    f"{run_name}_n128_{rf}", data_root, work, ck2,
+                    num_pts=128, detector_extra={"refine": rf},
+                )
+                per_seed[f"mma3_n128_{rf}"].append(round(m3q, 4))
+            print(json.dumps({"variant": name, "seed": seed,
+                              "secs": round(_time.time() - t0, 1),
+                              **{k: v[-1] for k, v in per_seed.items()}}),
+                  flush=True)
+        import numpy as _np
+
+        for k, vals in per_seed.items():
+            if args.seeds == 1:
+                rec[k] = vals[0]
+            else:
+                rec[k] = vals
+                rec[f"{k}_mean"] = round(float(_np.mean(vals)), 4)
+                rec[f"{k}_std"] = round(float(_np.std(vals)), 4)
         print(json.dumps(rec), flush=True)
         results[name] = rec
     return results
