@@ -58,9 +58,22 @@ def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
     heterogeneous hosts. Waiting here instead means the skew is absorbed
     by a generous barrier timeout rather than failing the first
     all-reduce. No-op when jax.distributed isn't initialized."""
-    from jax._src import distributed
+    # the coordination-service client lives in a private module whose
+    # layout moves across JAX releases (ADVICE r4); degrade to the
+    # public device-collective barrier rather than fail startup
+    try:
+        from jax._src import distributed
 
-    client = getattr(distributed.global_state, "client", None)
+        client = getattr(distributed.global_state, "client", None)
+    except (ImportError, AttributeError):
+        client = None
+        if jax.process_count() > 1:
+            # executes a psum across processes — heavier than the gRPC
+            # barrier (it compiles) but release-stable
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+            return
     if client is not None:
         client.wait_at_barrier(name, timeout_ms)
 

@@ -75,11 +75,18 @@ class PrefetchLoader:
         multi-host training; each host sees a disjoint index subset."""
         epoch = 0
         n = len(self.dataset)
+        # equal-length shards (DistributedSampler drop-trailing behavior):
+        # without this, len(dataset) % num_shards != 0 gives shards whose
+        # per-epoch batch counts differ by one, which would desynchronize
+        # lockstep SPMD consumers on the finite path (ADVICE r4). The
+        # trailing remainder of each epoch's permutation is dropped; for
+        # num_shards == 1 this is a no-op.
+        n_even = n - (n % self.num_shards)
         while True:
             idx = np.arange(n)
             if self.shuffle:
                 np.random.RandomState(self.seed + epoch).shuffle(idx)
-            yield from idx[self.shard_index :: self.num_shards].tolist()
+            yield from idx[:n_even][self.shard_index :: self.num_shards].tolist()
             epoch += 1
             if not self.infinite:
                 return

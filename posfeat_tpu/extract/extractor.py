@@ -39,6 +39,43 @@ from ..ops.detect import DETECTORS
 from ..ops.grid_sample import sample_feat_by_coord
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _pushed_env(overrides: Dict[str, str]):
+    """Temporarily set env knobs for a trace/call, restoring the caller's
+    environment afterwards. The lite fast-mode gates are per-Extractor
+    state (ADVICE r4: a process-global setdefault leaked quad sampling /
+    approx top-k into later f32 instances and broke single-gate A/B
+    attribution); they enter os.environ only while this instance's
+    device programs trace or run."""
+    if not overrides:
+        yield
+        return
+    old = {k: os.environ.get(k) for k in overrides}
+    os.environ.update(overrides)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _env_wrapped(fn, overrides: Dict[str, str]):
+    if not overrides:
+        return fn
+
+    def call(*args):
+        with _pushed_env(overrides):
+            return fn(*args)
+
+    return call
+
+
 class Extractor:
     def __init__(self, config, ckpt_root: str = "./ckpts"):
         from ..core.cache import enable_compilation_cache
@@ -70,10 +107,13 @@ class Extractor:
         # the device-certified lite gate set (255-259 im/s at ΔMMA@3
         # −0.0005, PROOFS.md "Device-certified") by default — the same
         # values POSFEAT_FAST=1 sets. `fast_mode: False` opts out;
-        # explicitly-set env knobs always win (setdefault), and
-        # trace_knob_key() keeps jit caches consistent with the
-        # resolved values. f32 extraction never applies gates: it is
-        # the exact reference-parity mode.
+        # explicitly-set env knobs always win (they are excluded from
+        # the per-instance overrides). The gates are INSTANCE state:
+        # they are pushed into os.environ only around this instance's
+        # trace/call sites (_pushed_env) so a later f32 Extractor or a
+        # Trainer in the same process never sees them (ADVICE r4). f32
+        # extraction never applies gates: exact reference-parity mode.
+        self._gate_overrides: Dict[str, str] = {}
         if (
             dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
@@ -85,7 +125,8 @@ class Extractor:
                 ("POSFEAT_HEAD_RING", "0"),
                 ("POSFEAT_HEAD_IM2COL", "1"),
             ):
-                os.environ.setdefault(_k, _v)
+                if _k not in os.environ:
+                    self._gate_overrides[_k] = _v
         # extraction is forward-only, so bf16 runs on TPU default to the
         # fused Pallas head (fastest); head_dataflow overrides explicitly.
         # Resolved BEFORE the config.yaml dump so the persisted run config
@@ -194,8 +235,11 @@ class Extractor:
         # trace_knob_key: env toggles (top-k impl, sampling precision,
         # fused-head variants, ...) are baked in at trace time; keying on
         # them retraces when a knob changes mid-process instead of
-        # silently reusing the stale program (ADVICE r2)
-        key = ("learned", shape, det_cfg_key, trace_knob_key())
+        # silently reusing the stale program (ADVICE r2). The key is
+        # computed with this instance's gate overrides pushed so it
+        # matches what the wrapped call will trace.
+        with _pushed_env(self._gate_overrides):
+            key = ("learned", shape, det_cfg_key, trace_knob_key())
         if key not in self._jit_cache:
             from ..data.utils import IMAGENET_MEAN, IMAGENET_STD
 
@@ -230,7 +274,9 @@ class Extractor:
                     return coords, score, feat, valid, outputs["local_point"]
                 return coords, score, feat, valid
 
-            self._jit_cache[key] = jax.jit(run)
+            self._jit_cache[key] = _env_wrapped(
+                jax.jit(run), self._gate_overrides
+            )
         return self._jit_cache[key]
 
     def _use_spatial(self, shape) -> bool:
@@ -261,7 +307,8 @@ class Extractor:
         over the spatial mesh and the whole program — backbone, head,
         NMS, top-k, refinement, descriptor sampling — runs SPMD; the
         small keypoint/descriptor slates come back replicated."""
-        key = ("spatial", shape, det_cfg_key, trace_knob_key())
+        with _pushed_env(self._gate_overrides):
+            key = ("spatial", shape, det_cfg_key, trace_knob_key())
         if key not in self._jit_cache:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -291,14 +338,16 @@ class Extractor:
                     return coords, score, feat, valid, outputs["local_point"]
                 return coords, score, feat, valid
 
-            self._jit_cache[key] = jax.jit(
-                run, in_shardings=(repl, im_sh), out_shardings=repl
+            self._jit_cache[key] = _env_wrapped(
+                jax.jit(run, in_shardings=(repl, im_sh), out_shardings=repl),
+                self._gate_overrides,
             )
         return self._jit_cache[key]
 
     def _sift_fn(self, shape, n_pad: int):
         """Jitted: sample descriptors at provided (padded) SIFT keypoints."""
-        key = ("sift", shape, n_pad, trace_knob_key())
+        with _pushed_env(self._gate_overrides):
+            key = ("sift", shape, n_pad, trace_knob_key())
         if key not in self._jit_cache:
             H, W = shape
             cos = self.config["loss_distance"] == "cos"
@@ -309,7 +358,9 @@ class Extractor:
                 feat = sample_feat_by_coord(outputs["local_map"], coord_n, cos)
                 return feat
 
-            self._jit_cache[key] = jax.jit(run)
+            self._jit_cache[key] = _env_wrapped(
+                jax.jit(run), self._gate_overrides
+            )
         return self._jit_cache[key]
 
     # --------------------------------------------------------- pipeline

@@ -447,6 +447,14 @@ class Trainer:
             if self._open_trace is not None:
                 self._open_trace.__exit__(None, None, None)
                 self._open_trace = None
+            # join a pending async checkpoint write so process exit can't
+            # tear a multi-file epoch dir (ADVICE r4: each file is
+            # tmp+os.replace atomic, but a daemon thread killed between
+            # files would leave e.g. a new backbone.msgpack with a stale
+            # opt_state — broken for exact resume)
+            if getattr(self, "_ckpt_thread", None) is not None:
+                self._ckpt_thread.join()
+                self._ckpt_thread = None
 
     def _train_epochs(self, n_epochs, log_freq, ckpt_freq, tb_keys, key,
                       data_iter, global_step, timer, trace_dir):

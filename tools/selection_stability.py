@@ -153,6 +153,10 @@ def trained_probe(ckpt, work=None, num_pts=512):
             "local_thr": 0.99,
             "use_sift": False,
             "compute_dtype": compute_dtype,
+            # the probe controls gates itself (_set_gates): fast_mode
+            # must not layer the lite set under a single-gate A/B arm
+            # (ADVICE r4)
+            "fast_mode": False,
             "head_dataflow": head_dataflow,
             "detector": "generate_kpts_single",
             "detector_config": {
