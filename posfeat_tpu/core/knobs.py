@@ -20,7 +20,6 @@ from typing import Tuple
 # models/resunet.py). Keep in sync when adding knobs.
 TRACE_KNOBS = (
     "POSFEAT_TOPK",
-    "POSFEAT_TOPK_RECALL",
     "POSFEAT_SAMPLE_IMPL",
     "POSFEAT_SAMPLE_F32",
     "POSFEAT_DESC_F32",
@@ -28,13 +27,17 @@ TRACE_KNOBS = (
     "POSFEAT_SCORE_F32",
     "POSFEAT_DECODER_ACCUM",
     "POSFEAT_HEAD_MODE",
-    "POSFEAT_HEAD_STATS",
     "POSFEAT_HEAD_IM2COL",
     "POSFEAT_HEAD_RING",
-    "POSFEAT_HEAD_T1",
-    "POSFEAT_HEAD_T2",
-    "POSFEAT_HEAD_TRIPLE",
 )
+# Retired in r5 (VERDICT item 6 — promote decided knobs out of the env):
+#   POSFEAT_TOPK_RECALL  -> detector_config `topk_recall` kwarg
+#   POSFEAT_HEAD_STATS   -> fused_head_tail(img_stats=) kwarg, default
+#                           'gram' (the certified r4 winner)
+#   POSFEAT_HEAD_TRIPLE  -> fused_head_tail(triple=) kwarg (uncertified
+#                           study path, parity-tested)
+#   POSFEAT_HEAD_T1/T2   -> constants (8,32)/(8,32) — the microbench
+#                           winner, unmoved across three rounds
 
 
 def trace_knob_key() -> Tuple[Tuple[str, str], ...]:

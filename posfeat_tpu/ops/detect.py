@@ -23,18 +23,18 @@ from .pooling import avg_pool2d, max_pool2d
 from .samplers import unfold, gumbel_topk_select
 
 
-def _top_k(x: jnp.ndarray, k: int):
+def _top_k(x: jnp.ndarray, k: int, recall: float = 0.99):
     """Row-wise top-k. POSFEAT_TOPK=approx (read at trace time) selects
     jax.lax.approx_max_k — on TPU this lowers to the PartialReduce unit
     instead of a full sort of the candidate map (the sort is ~0.1 ms/img
-    at 480x640) at a configurable recall (POSFEAT_TOPK_RECALL, default
-    0.99; exact on CPU). The MMA impact of the approximation is judged
-    by the trained-weights probe (tools/selection_stability.py); the
-    default stays the exact, reference-ordered top-k (putils:249-261)."""
+    at 480x640) at a configurable recall (detector_config `topk_recall`,
+    default 0.99; exact on CPU). The MMA impact of the approximation is
+    judged by the trained-weights probe (tools/selection_stability.py);
+    the default stays the exact, reference-ordered top-k
+    (putils:249-261)."""
     import os
 
     if os.environ.get("POSFEAT_TOPK") == "approx":
-        recall = float(os.environ.get("POSFEAT_TOPK_RECALL", "0.99"))
         return jax.lax.approx_max_k(x, k, recall_target=recall)
     return jax.lax.top_k(x, k)
 
@@ -220,6 +220,7 @@ def generate_kpts_single(
     stride: int = 1,
     scale: int = 4,
     refine: str = "avg3",
+    topk_recall: float = 0.99,
 ):
     """Full-image detector with 3×3 soft coordinate refinement (putils:215-278).
 
@@ -347,14 +348,15 @@ def generate_kpts_single(
                     barg.astype(jnp.int32),
                 )
                 scores_sel, bidx = _top_k(
-                    jax.lax.bitcast_convert_type(packed, jnp.float32), k
+                    jax.lax.bitcast_convert_type(packed, jnp.float32), k,
+                    topk_recall,
                 )
                 inner = jnp.bitwise_and(
                     jax.lax.bitcast_convert_type(scores_sel, jnp.int32),
                     jnp.int32(0xF),
                 )
             else:
-                scores_sel, bidx = _top_k(bmax, k)
+                scores_sel, bidx = _top_k(bmax, k, topk_recall)
                 # recover flat indices in the (h2, w2) interior grid
                 inner = jnp.take_along_axis(barg, bidx, axis=1)
             by = bidx // (wp // fold)
@@ -368,7 +370,7 @@ def generate_kpts_single(
             # clamp k to the number of positions (tiny images), pad the
             # slate back to the static num_pts with zero-score entries
             k = min(num_pts, masked.shape[1])
-            scores_sel, idx = _top_k(masked, k)
+            scores_sel, idx = _top_k(masked, k, topk_recall)
         kps = jnp.take_along_axis(
             grids.reshape(B, -1, 2), idx[..., None], axis=1
         )
@@ -415,6 +417,7 @@ def generate_kpts_single_noavg(
     key: jax.Array = None,
     stride: int = 1,
     scale: int = 4,
+    topk_recall: float = 0.99,
 ):
     """Detector without coordinate refinement (putils:280-336).
 
@@ -442,7 +445,7 @@ def generate_kpts_single_noavg(
 
     masked = (nms_mask * kp_map).reshape(B, -1)
     k = min(num_pts, masked.shape[1])
-    _, idx = _top_k(masked, k)
+    _, idx = _top_k(masked, k, topk_recall)
     kps = jnp.take_along_axis(grids.reshape(B, -1, 2), idx[..., None], axis=1)
     kp_score = jnp.take_along_axis(
         kp_map.reshape(B, -1, 1), idx[..., None], axis=1
@@ -465,6 +468,7 @@ def generate_kpts_regular_grid_single(
     thr=None,
     thr_mod: str = "mean",
     key: jax.Array = None,
+    topk_recall: float = 0.99,
 ):
     """Grid-cell argmax/sample detector (putils:375-429).
 
@@ -508,7 +512,7 @@ def generate_kpts_regular_grid_single(
 
     if num_pts:
         k = min(num_pts, kps.shape[1])
-        top_score, top_idx = _top_k((mask * score)[..., 0], k)
+        top_score, top_idx = _top_k((mask * score)[..., 0], k, topk_recall)
         kps = jnp.take_along_axis(kps, top_idx[..., None], axis=1)
         score = top_score[..., None]
         if k < num_pts:

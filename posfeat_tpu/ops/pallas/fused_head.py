@@ -429,10 +429,11 @@ def fused_head_tail(
     eps: float = 1e-5,
     interpret: bool = False,
     debug_intermediates: bool = False,
+    triple: bool = False,
+    img_stats: str = "gram",
 ):
-    """Public wrapper: resolves the kernel tile sizes (env-tunable via
-    POSFEAT_HEAD_T1/T2, format "th,tw") and the dataflow mode OUTSIDE
-    the jit so changing them invalidates the compile cache.
+    """Public wrapper: resolves the kernel tile sizes and dataflow mode
+    OUTSIDE the jit so changing them invalidates the compile cache.
 
     Image-branch operands (all produced by KeypointDet):
       img_s  [B, k*h, k*w, 3]  prior-scaled raw image (convimg input)
@@ -450,12 +451,15 @@ def fused_head_tail(
     """
     import os
 
-    _t1 = os.environ.get("POSFEAT_HEAD_T1", "8,32").split(",")
-    _t2 = os.environ.get("POSFEAT_HEAD_T2", "8,32").split(",")
-    tiles = (int(_t1[0]), int(_t1[1]), int(_t2[0]), int(_t2[1]))
+    # kernel tile sizes: (8, 32) for both kernels was the round-2/3
+    # microbench winner and never moved in any later sweep — promoted
+    # from env knobs (POSFEAT_HEAD_T1/T2) to constants in r5
+    tiles = (8, 32, 8, 32)
     mode = os.environ.get("POSFEAT_HEAD_MODE", "v3")
     assert mode in ("v1", "v3"), mode
-    tri = os.environ.get("POSFEAT_HEAD_TRIPLE", "0") == "1" and mode == "v3"
+    # 'triple' trunk layout: retained as a code path for the parity
+    # suite (explicit kwarg, no env knob since r5); never certified
+    tri = triple and mode == "v3"
     # im2col: single-matmul trunk conv (9 shifted views lane-concatenated
     # with the TRUE 192-channel count). 2.22 vs 2.46 ms/img in the head
     # A/B. The env default stays OFF because the operand build uses
@@ -486,8 +490,9 @@ def fused_head_tail(
     )
     # convimg IN-stats source for v3: 'gram' (default — patch-gram MXU
     # contraction, lets XLA DCE the full-res convimg in ring-skip
-    # programs) or 'xla' (the y_img operand reduction)
-    img_stats = os.environ.get("POSFEAT_HEAD_STATS", "gram")
+    # programs; certified r4, +~5 im/s) or 'xla' (the y_img operand
+    # reduction). Explicit kwarg since r5 — the parity suite passes
+    # 'xla' to pin the two formulations against each other.
     return _fused_head_tail(
         trunk, img_s, img_y, img_mu, img_a, k1_img, b1_img,
         k2_trunk, k2_img, b2, w3, b3, prelu_a,

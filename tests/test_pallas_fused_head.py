@@ -66,22 +66,23 @@ def _setup(rng, B=2, h=12, w=16, cin=24, cy=16, cout=32, out=2):
     return trunk, s, k1, b1, k2t, k2i, b2, w3, b3, a
 
 
-def _run_fused(args, mode):
+def _run_fused(args, mode, **kw):
     trunk, s, k1, b1, k2t, k2i, b2, w3, b3, a = args
     y, mu, ia = _img_branch(s, k1, b1)
     return np.asarray(
         fused_head_tail(
             trunk, s, y, mu, ia, k1, b1, k2t, k2i, b2, w3, b3, a,
-            act="Softplus", interpret=True,
+            act="Softplus", interpret=True, **kw,
         )
     )
 
 
 @pytest.mark.parametrize("mode", ["v3", "v3t", "v3i", "v1"])
 def test_fused_head_tail_interpret_matches(rng, monkeypatch, mode):
+    kw = {}
     if mode == "v3t":
         monkeypatch.setenv("POSFEAT_HEAD_MODE", "v3")
-        monkeypatch.setenv("POSFEAT_HEAD_TRIPLE", "1")
+        kw["triple"] = True  # explicit kwarg since r5 (env knob retired)
     elif mode == "v3i":
         # im2col trunk operand (env-gated OFF by default on device
         # pending Mosaic validation; the math is covered here)
@@ -91,7 +92,7 @@ def test_fused_head_tail_interpret_matches(rng, monkeypatch, mode):
         monkeypatch.setenv("POSFEAT_HEAD_MODE", mode)
     args = _setup(rng)
     ref = np.asarray(reference_tail(*args[:1], *args[1:], act="Softplus"))
-    got = _run_fused(args, mode)
+    got = _run_fused(args, mode, **kw)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
 
@@ -208,20 +209,18 @@ def test_extractor_bf16_autoselects_pallas(tmp_path, rng):
 
 
 def test_gram_stats_match_xla_stats(rng, monkeypatch):
-    """POSFEAT_HEAD_STATS=gram derives the convimg IN statistics from the
-    patch gram matrix (no full-res y_img reduction). Against the operand
-    ('xla') path the only differences are summation order and skipping
-    y's bf16 rounding — outputs must agree tightly in f32 and to bf16
-    resolution in bf16."""
+    """img_stats='gram' (the default) derives the convimg IN statistics
+    from the patch gram matrix (no full-res y_img reduction). Against
+    the operand ('xla') path the only differences are summation order
+    and skipping y's bf16 rounding — outputs must agree tightly in f32
+    and to bf16 resolution in bf16."""
     for dt, rtol in ((jnp.float32, 2e-4), (jnp.bfloat16, 2e-2)):
         args = _setup(rng, B=2, h=16, w=24, cin=24, cy=16, cout=32, out=2)
         args = tuple(
             a.astype(dt) if a.ndim >= 3 else a for a in args
         )
-        monkeypatch.setenv("POSFEAT_HEAD_STATS", "gram")
-        got_g = _run_fused(args, "v3")
-        monkeypatch.setenv("POSFEAT_HEAD_STATS", "xla")
-        got_x = _run_fused(args, "v3")
+        got_g = _run_fused(args, "v3", img_stats="gram")
+        got_x = _run_fused(args, "v3", img_stats="xla")
         scale = np.abs(got_x).mean()
         assert np.abs(got_g - got_x).max() < rtol * scale, (
             dt, np.abs(got_g - got_x).max(), scale,
