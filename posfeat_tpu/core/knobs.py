@@ -29,6 +29,10 @@ TRACE_KNOBS = (
     "POSFEAT_HEAD_MODE",
     "POSFEAT_HEAD_IM2COL",
     "POSFEAT_HEAD_RING",
+    # r5 perf-experiment gates (not user surface — will be promoted to
+    # defaults or deleted once device A/Bs land):
+    "POSFEAT_SPLITCAT",
+    "POSFEAT_MM1X1",
 )
 # Retired in r5 (VERDICT item 6 — promote decided knobs out of the env):
 #   POSFEAT_TOPK_RECALL  -> detector_config `topk_recall` kwarg

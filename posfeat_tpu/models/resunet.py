@@ -82,6 +82,35 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+class _Conv1x1MM(nn.Module):
+    """1×1 stride-1 conv expressed as an explicit [B·H·W, Cin]@[Cin, Cout]
+    dot_general (r5 perf experiment, POSFEAT_MM1X1=1): the r4 trace
+    charges ~0.11 ms/img to XLA-chosen 64-lane layouts around the
+    ResNet layer-1 expand convs; the matmul form sidesteps the conv
+    layout heuristics. Params match nn.Conv ('kernel' [1,1,Cin,Cout],
+    no bias) so checkpoints interchange."""
+
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, C, self.out_ch),
+            jnp.float32,
+        )
+        y = jax.lax.dot_general(
+            x.reshape(B, H * W, C).astype(self.dtype),
+            w.reshape(C, self.out_ch).astype(self.dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(self.dtype).reshape(B, H, W, self.out_ch)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -91,18 +120,40 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import os
+
         width = self.planes * self.width_mult
+        # layer-1 only (planes == 64): its 64-lane tensors are the
+        # layout-waste hotspot the experiment targets
+        mm1 = (
+            os.environ.get("POSFEAT_MM1X1") == "1"
+            and self.planes == 64
+            and self.stride == 1
+        )
+
+        def conv1x1(out_ch, name):
+            if mm1:
+                return _Conv1x1MM(out_ch, self.dtype, name=name)
+            return _conv(out_ch, 1, 1, self.dtype, name)
+
         identity = x
-        out = _conv(width, 1, 1, self.dtype, "conv1")(x)
+        out = conv1x1(width, "conv1")(x)
         out = _bn(train, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = _conv(width, 3, self.stride, self.dtype, "conv2")(out)
         out = _bn(train, self.dtype, "bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.planes * 4, 1, 1, self.dtype, "conv3")(out)
+        out = conv1x1(self.planes * 4, "conv3")(out)
         out = _bn(train, self.dtype, "bn3")(out)
         if self.downsample:
-            identity = _conv(self.planes * 4, 1, self.stride, self.dtype, "ds_conv")(x)
+            if mm1:
+                identity = _Conv1x1MM(
+                    self.planes * 4, self.dtype, name="ds_conv"
+                )(x)
+            else:
+                identity = _conv(
+                    self.planes * 4, 1, self.stride, self.dtype, "ds_conv"
+                )(x)
             identity = _bn(train, self.dtype, "ds_bn")(identity)
         return nn.relu(out + identity)
 
@@ -238,6 +289,63 @@ class _ConvSplit2(nn.Module):
         return y
 
 
+class _SplitCatConv(nn.Module):
+    """conv(concat(a, b), K) as conv(a, K[..., :Ca, :]) +
+    conv(b, K[..., Ca:, :]) — the operand concat never materializes.
+    Both partial convs surface the f32 accumulator and the sum + bias
+    round ONCE to the compute dtype, so numerics are the single-conv
+    result with one fewer intermediate rounding. Params identical to
+    nn.Conv over the concatenated input ('kernel' [k,k,Ca+Cb,Cout],
+    'bias') — checkpoints interchange."""
+
+    out_ch: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, ca + cb, self.out_ch),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_ch,), jnp.float32
+        )
+        p = (self.kernel - 1) // 2
+
+        def part(x, ww):
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), ww.astype(self.dtype),
+                (1, 1), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+
+        y = part(a, w[:, :, :ca, :]) + part(b, w[:, :, ca:, :]) + bias
+        return y.astype(self.dtype)
+
+
+class ConvBNEluSplitCat(nn.Module):
+    """ConvBNElu over a (virtual) channel concat of two operands without
+    materializing the concat (r5 perf experiment, POSFEAT_SPLITCAT=1:
+    the r4 trace attributes ~0.17 ms/img to decoder layout/elementwise
+    ops, of which the two skip concats are the largest single movers).
+    Parameter tree identical to ConvBNElu ('conv' + 'bn')."""
+
+    out_ch: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b, train: bool = False):
+        x = _SplitCatConv(self.out_ch, self.kernel, self.dtype, name="conv")(a, b)
+        x = _bn(train, self.dtype, "bn")(x)
+        return nn.elu(x)
+
+
 class ConvBNElu(nn.Module):
     """The reference's `conv` block: Conv2d + BN + ELU (DescNet.py:167-179).
 
@@ -307,15 +415,22 @@ class UpConv(nn.Module):
         )
 
 
-def _skipconnect(x1, x2):
-    """Zero-pad x1 to x2's spatial size, concat channels (DescNet.py:50-62)."""
+def _skip_pad(x1, x2):
+    """Zero-pad x1 to x2's spatial size (DescNet.py:50-62); no-op at
+    %16-cropped shapes where the sizes already agree."""
     dy = x2.shape[1] - x1.shape[1]
     dx = x2.shape[2] - x1.shape[2]
-    x1 = jnp.pad(
+    if dy == 0 and dx == 0:
+        return x1
+    return jnp.pad(
         x1,
         ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)),
     )
-    return jnp.concatenate([x2, x1], axis=-1)
+
+
+def _skipconnect(x1, x2):
+    """Pad + concat channels, skip first (DescNet.py:50-62)."""
+    return jnp.concatenate([x2, _skip_pad(x1, x2)], axis=-1)
 
 
 
@@ -422,12 +537,22 @@ class ResUNet(nn.Module):
             split2=wide, split_passes=3,
             name="upconv3",
         )(x3, train)
-        y = _skipconnect(y if wide else y.astype(self.dtype), x2)
-        y = ConvBNElu(
-            512, 3, 1, self.dtype, accum_f32=acc and not wide,
-            split2=wide, split_passes=3,
-            name="iconv3",
-        )(y, train)
+        # POSFEAT_SPLITCAT=1 (r5 perf experiment): compute the skip-
+        # concat iconvs as two partial convs summed — the 1024/512-ch
+        # concat copies never materialize. Plain-dtype paths only (the
+        # f32/split tail variants keep the reference dataflow).
+        splitcat = os.environ.get("POSFEAT_SPLITCAT") == "1"
+        if splitcat and not wide and not acc:
+            y = ConvBNEluSplitCat(512, 3, self.dtype, name="iconv3")(
+                x2, _skip_pad(y.astype(self.dtype), x2), train
+            )
+        else:
+            y = _skipconnect(y if wide else y.astype(self.dtype), x2)
+            y = ConvBNElu(
+                512, 3, 1, self.dtype, accum_f32=acc and not wide,
+                split2=wide, split_passes=3,
+                name="iconv3",
+            )(y, train)
 
         up2_dt = jnp.float32 if up_f32 else self.dtype
         ic2_dt = jnp.float32 if ic_f32 else self.dtype
@@ -438,18 +563,25 @@ class ResUNet(nn.Module):
             split2=split2, split_passes=split_passes,
             name="upconv2",
         )(y.astype(up2_dt) if not wide else y, train)
-        # under split2 the upconv2 block emits f32 and the concat
-        # promotes the bf16 skip — both operands reach the split conv
-        # unrounded
-        y = _skipconnect(
-            y if split2 else y.astype(ic2_dt), x1.astype(ic2_dt)
-        )
-        y = ConvBNElu(
-            256, 3, 1, ic2_dt,
-            accum_f32=acc and ic2_dt != jnp.float32 and not split2,
-            split2=split2, split_passes=split_passes,
-            name="iconv2",
-        )(y, train)
+        if splitcat and not split2 and ic2_dt == self.dtype and not acc:
+            y = ConvBNEluSplitCat(256, 3, self.dtype, name="iconv2")(
+                x1.astype(self.dtype),
+                _skip_pad(y.astype(self.dtype), x1),
+                train,
+            )
+        else:
+            # under split2 the upconv2 block emits f32 and the concat
+            # promotes the bf16 skip — both operands reach the split
+            # conv unrounded
+            y = _skipconnect(
+                y if split2 else y.astype(ic2_dt), x1.astype(ic2_dt)
+            )
+            y = ConvBNElu(
+                256, 3, 1, ic2_dt,
+                accum_f32=acc and ic2_dt != jnp.float32 and not split2,
+                split2=split2, split_passes=split_passes,
+                name="iconv2",
+            )(y, train)
 
         fine_dt = (
             jnp.float32

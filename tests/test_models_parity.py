@@ -485,3 +485,40 @@ def test_conv_split3_matches_true_f32():
     # 2-pass corrects activations only; weight rounding (~2^-8) remains
     assert d3 < d2, (d3, d2)
 
+
+
+def test_perf_gate_parity_splitcat_mm1x1(monkeypatch):
+    """r5 perf-experiment gates must be numerically equivalent dataflows
+    on identical params: POSFEAT_SPLITCAT (concat-free skip iconvs) and
+    POSFEAT_MM1X1 (layer-1 1x1 convs as matmuls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posfeat_tpu.models import PoSFeat
+
+    cfg = {
+        "backbone": "ResUNet",
+        "backbone_config": {
+            "encoder": "resnet50", "pretrained": False,
+            "coarse_out_ch": 32, "fine_out_ch": 32,
+        },
+        "localheader": "KeypointDet",
+        "localheader_config": {
+            "in_channels": 96, "prior": "identity", "act": "Softplus",
+        },
+        "align_local_grad": False,
+        "local_input_elements": ["local_map", "local_map_small"],
+        "local_with_img": True,
+    }
+    m = PoSFeat(cfg, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), im_shape=(1, 48, 48, 3))
+    im = jax.random.uniform(jax.random.PRNGKey(1), (1, 48, 64, 3))
+    base = m.extract(v, im, train=False)
+    for gate in ("POSFEAT_SPLITCAT", "POSFEAT_MM1X1"):
+        monkeypatch.setenv(gate, "1")
+        out = m.extract(v, im, train=False)
+        monkeypatch.delenv(gate)
+        for k in ("local_map", "local_point"):
+            d = float(jnp.abs(out[k] - base[k]).max())
+            scale = float(jnp.abs(base[k]).mean()) + 1e-9
+            assert d < 1e-4 * max(scale, 1.0), (gate, k, d, scale)
