@@ -73,6 +73,7 @@ class DiskLoss:
         self.reward_at_refined = configs.get("reward_at_refined", False)
         self.loc_weight = configs.get("loc_weight", 0.0)
         self.loc_temperature = configs.get("loc_temperature", 20.0)
+        self.loc_window = configs.get("loc_window", 3)
 
     def name(self):
         return self.__lossname__
@@ -327,10 +328,16 @@ class DiskLoss:
             from ..ops.detect import softargmax3_offsets
 
             lcoord1 = coord1 + _gather_at_pixels(
-                softargmax3_offsets(kp_map1, self.loc_temperature), coord1
+                softargmax3_offsets(
+                    kp_map1, self.loc_temperature, self.loc_window
+                ),
+                coord1,
             )
             lcoord2 = coord2 + _gather_at_pixels(
-                softargmax3_offsets(kp_map2, self.loc_temperature), coord2
+                softargmax3_offsets(
+                    kp_map2, self.loc_temperature, self.loc_window
+                ),
+                coord2,
             )
             d1r, d2r = self._epipolar_dists(inputs, lcoord1, lcoord2)
             thr = rcfg["reward_thr"]

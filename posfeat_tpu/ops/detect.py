@@ -90,32 +90,40 @@ def quad_refine_offsets(kp_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(off, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
-def softargmax3_offsets(kp_map: jnp.ndarray, temperature: float) -> jnp.ndarray:
-    """Differentiable 3×3 soft-argmax offset map [B, H, W, 2] in pixels.
+def softargmax3_offsets(
+    kp_map: jnp.ndarray, temperature: float, window: int = 3
+) -> jnp.ndarray:
+    """Differentiable soft-argmax offset map [B, H, W, 2] in pixels.
 
     Per pixel, the expected offset of a softmax(temperature·score)
-    distribution over its 3×3 neighborhood (edge-replicated at the
-    border). Unlike `quad_refine_offsets` this is differentiable w.r.t.
-    the score map, which is what DiskLoss's ``loc_weight`` localization
-    term needs: penalizing the epipolar distance of the soft peak
-    position gives the score surface a dense gradient toward
-    sub-pixel-accurate peaks — the signal REINFORCE's integer-pixel
-    sampling cannot see (VERDICT r4 item 1b).
+    distribution over its `window`×`window` neighborhood
+    (edge-replicated at the border; window odd, default 3). Unlike
+    `quad_refine_offsets` this is differentiable w.r.t. the score map,
+    which is what DiskLoss's ``loc_weight`` localization term needs:
+    penalizing the epipolar distance of the soft peak position gives
+    the score surface a dense gradient toward sub-pixel-accurate peaks
+    — the signal REINFORCE's integer-pixel sampling cannot see
+    (VERDICT r4 item 1b). window=5 mirrors the eval-time 'quad5'
+    refiner's support (the ×4-upsampled score peaks are wider than one
+    pixel, PROOFS.md band decomposition).
     """
+    assert window % 2 == 1 and window >= 3, window
+    r = window // 2
     B, H, W, _ = kp_map.shape
     s = kp_map[..., 0]
-    sp = jnp.pad(s, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    sp = jnp.pad(s, ((0, 0), (r, r), (r, r)), mode="edge")
+    offs = range(-r, r + 1)
     patches = jnp.stack(
         [
-            sp[:, 1 + dy : H + 1 + dy, 1 + dx : W + 1 + dx]
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
+            sp[:, r + dy : H + r + dy, r + dx : W + r + dx]
+            for dy in offs
+            for dx in offs
         ],
         axis=-1,
-    )  # [B, H, W, 9]; tap order row-major over (dy, dx)
+    )  # [B, H, W, window²]; tap order row-major over (dy, dx)
     w = jax.nn.softmax(temperature * patches, axis=-1)
-    dxs = jnp.asarray([dx for _ in (-1, 0, 1) for dx in (-1, 0, 1)], s.dtype)
-    dys = jnp.asarray([dy for dy in (-1, 0, 1) for _ in (-1, 0, 1)], s.dtype)
+    dxs = jnp.asarray([dx for _ in offs for dx in offs], s.dtype)
+    dys = jnp.asarray([dy for dy in offs for _ in offs], s.dtype)
     ox = (w * dxs).sum(-1)
     oy = (w * dys).sum(-1)
     return jnp.stack([ox, oy], axis=-1)

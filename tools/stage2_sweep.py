@@ -124,6 +124,15 @@ EXTRAS["loc10t5_ramp2to05"] = (
     {"loc_weight": 10.0, "loc_temperature": 5.0},
     None,
 )
+# sweep-B refinements around the loc10 winner (budget-matched 0.8297 /
+# 0.8370 with eval quad5 vs champion 0.7989 — the localization term is
+# the first training-side lever that moved the matched-budget band)
+EXTRAS["loc30_ramp2to05"] = ("ramp2to05", {"loc_weight": 30.0}, None)
+EXTRAS["loc10w5_ramp2to05"] = (
+    "ramp2to05",
+    {"loc_weight": 10.0, "loc_window": 5},
+    None,
+)
 
 
 def kp_config(work, name, ck1, epochs, steps, lr, decay_at, rthr, kpen,
