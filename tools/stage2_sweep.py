@@ -35,6 +35,36 @@ from convergence_experiment import (  # noqa: E402
     train_config,
 )
 
+
+def matched_budget_mma(work, run_name, refine=None):
+    """Budget-matched MMA bands for a cell's already-extracted n256
+    slates vs the shared sift_arm (tools/budget_matched_eval.py logic —
+    the headline learned-vs-SIFT comparison since r4's band
+    decomposition). `refine` optionally names a refined n256 extraction
+    (e.g. 'quad5') instead of the avg3 one."""
+    import glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from budget_matched_eval import mma_bands, truncate_dir
+
+    sift_dir = os.path.join(work, "ckpts", "hp", "sift_arm", "desc")
+    tag = f"{run_name}_n256" + (f"_{refine}" if refine else "")
+    learned_dir = os.path.join(work, "ckpts", "hp", tag, "desc")
+    data_root = os.path.join(work, "hp_eval")
+    counts = {}
+    for f in sorted(glob.glob(os.path.join(sift_dir, "*", "*.c"))):
+        rel = os.path.relpath(f, sift_dir)
+        counts[rel] = int(np.load(f)["keypoints"].shape[0])
+    tmp = tempfile.mkdtemp(prefix="bmatch_")
+    try:
+        d = os.path.join(tmp, "matched")
+        truncate_dir(learned_dir, d, "c", lambda rel: counts[rel])
+        return mma_bands(d, "c", data_root)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 # name -> (epochs, steps/epoch, lr, decay_at_epoch, reward_thr, kp_penalty
 #          [, reward_thr_final, reward_anneal_epochs])
 VARIANTS = {
@@ -195,7 +225,8 @@ def main():
         if anneal:
             rec["reward_thr_final"], rec["reward_anneal_epochs"] = anneal
         per_seed = {"mma3_n128": [], "mma3_n256": [], "mma3_n128_quad": [],
-                    "mma3_n128_quad5": []}
+                    "mma3_n128_quad5": [], "matched_mma3": [],
+                    "matched_mma5": [], "matched_mma3_quad5": []}
         for seed in range(args.seeds):
             import time as _time
 
@@ -223,6 +254,18 @@ def main():
                     num_pts=128, detector_extra={"refine": rf},
                 )
                 per_seed[f"mma3_n128_{rf}"].append(round(m3q, 4))
+            # budget-matched bands (the headline learned-vs-SIFT
+            # comparison since the r4 band decomposition), avg3 and
+            # quad5-refined n256 slates
+            extract_and_mma(
+                f"{run_name}_n256_quad5", data_root, work, ck2,
+                num_pts=256, detector_extra={"refine": "quad5"},
+            )
+            mb = matched_budget_mma(work, run_name)
+            mbq = matched_budget_mma(work, run_name, refine="quad5")
+            per_seed["matched_mma3"].append(mb["mma3"])
+            per_seed["matched_mma5"].append(mb["mma5"])
+            per_seed["matched_mma3_quad5"].append(mbq["mma3"])
             print(json.dumps({"variant": name, "seed": seed,
                               "secs": round(_time.time() - t0, 1),
                               **{k: v[-1] for k, v in per_seed.items()}}),
