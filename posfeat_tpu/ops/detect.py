@@ -228,6 +228,7 @@ def generate_kpts_single(
     stride: int = 1,
     scale: int = 4,
     refine: str = "avg3",
+    refine_temperature: float = 20.0,
     topk_recall: float = 0.99,
 ):
     """Full-image detector with 3×3 soft coordinate refinement (putils:215-278).
@@ -292,13 +293,29 @@ def generate_kpts_single(
         and stable
         and os.environ.get("POSFEAT_TOPK") == "approx"
     )
-    refine_quad = refine in ("quad", "quad5") and stride == 1
+    refine_quad = refine in ("quad", "quad5", "soft", "soft5") and stride == 1
     if refine_quad:
-        grids = (
-            _quad5_refine_grids(kp_map)
-            if refine == "quad5"
-            else _quad_refine_grids(kp_map)
-        )
+        if refine in ("soft", "soft5"):
+            # soft-argmax estimator matching DiskLoss's loc_weight
+            # training term (same temperature/window family): for
+            # checkpoints trained with the localization penalty, this
+            # reads the peak with the exact statistic training
+            # optimized. refine_temperature tunes the softmax.
+            off = softargmax3_offsets(
+                kp_map, refine_temperature,
+                window=5 if refine == "soft5" else 3,
+            )[:, 1:-1, 1:-1, :]
+            jj = jnp.arange(1, W - 1, dtype=jnp.float32)
+            ii = jnp.arange(1, H - 1, dtype=jnp.float32)
+            kx = -1.0 + 2.0 * (jj[None, None, :] + off[..., 0]) / (W - 1)
+            ky = -1.0 + 2.0 * (ii[None, :, None] + off[..., 1]) / (H - 1)
+            grids = jnp.stack([kx, ky], axis=-1).astype(kp_map.dtype)
+        else:
+            grids = (
+                _quad5_refine_grids(kp_map)
+                if refine == "quad5"
+                else _quad_refine_grids(kp_map)
+            )
     else:
         grids_org = gen_grid(
             -1, 1, -1, 1, H, W, dtype=kp_map.dtype

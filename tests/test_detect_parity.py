@@ -333,3 +333,31 @@ def test_quad5_refine_contract():
         )
         assert np.isfinite(np.asarray(kps)).all()
         assert (np.abs(np.asarray(kps)) <= 1.0 + 1e-6).all()
+
+
+def test_soft_refine_paths():
+    """refine='soft'/'soft5' (soft-argmax eval estimator matching the
+    DiskLoss loc term's statistic) return valid slates and move
+    coordinates toward score peaks. Measured on the r5 loc10 checkpoint
+    they trail the quad5 least-squares fit at matched budget
+    (0.8305/0.817 vs 0.8370) — kept as opt-in estimators."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posfeat_tpu.ops.detect import generate_kpts_single
+
+    s = np.zeros((1, 24, 32, 1), np.float32)
+    s[0, 10, 12, 0] = 3.0
+    s[0, 10, 13, 0] = 2.0  # true peak slightly right of the argmax
+    kp = jnp.asarray(s) + 0.01
+    for rf in ("soft", "soft5"):
+        kps, score, valid = generate_kpts_single(
+            kp, num_pts=8, nms_radius=1, use_nms=True, thr=False,
+            refine=rf, refine_temperature=2.0,
+        )
+        assert kps.shape == (1, 8, 2)
+        x_px = (float(kps[0, 0, 0]) + 1) / 2 * (32 - 1)
+        y_px = (float(kps[0, 0, 1]) + 1) / 2 * (24 - 1)
+        assert 12.0 < x_px < 13.0, x_px  # pulled toward the neighbor
+        assert abs(y_px - 10.0) < 0.5, y_px
