@@ -169,3 +169,23 @@ def test_levers_disable_pallas_eligibility(lever):
     val = True if lever == "reward_at_refined" else 0.5
     cfg = _disk_config(use_pallas="auto", **{lever: val})
     assert DiskLoss(cfg)._use_pallas() is False
+
+
+def test_loc_window_5_runs_and_differs():
+    """loc_window=5 widens the soft-argmax support; the loss must stay
+    finite and differ from the 3x3 default (measured negative at the
+    matched budget — kept as a config lever with recorded evidence)."""
+    inputs, outputs, key = _toy_batch(jax.random.PRNGKey(5))
+    l3, c3 = DiskLoss(_disk_config(loc_weight=10.0))(inputs, outputs, None, key)
+    l5, c5 = DiskLoss(_disk_config(loc_weight=10.0, loc_window=5))(
+        inputs, outputs, None, key
+    )
+    assert jnp.isfinite(l3) and jnp.isfinite(l5)
+    assert float(c3["loc_pen"]) != float(c5["loc_pen"])
+    # a peak 2 px away is visible to w=5 but not w=3
+    s = np.zeros((1, 9, 9, 1), np.float32)
+    s[0, 4, 6, 0] = 3.0
+    o3 = softargmax3_offsets(jnp.asarray(s), 10.0, window=3)
+    o5 = softargmax3_offsets(jnp.asarray(s), 10.0, window=5)
+    assert abs(float(o3[0, 4, 4, 0])) < 0.2
+    assert float(o5[0, 4, 4, 0]) > 1.0
