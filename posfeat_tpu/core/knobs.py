@@ -29,11 +29,12 @@ TRACE_KNOBS = (
     "POSFEAT_HEAD_MODE",
     "POSFEAT_HEAD_IM2COL",
     "POSFEAT_HEAD_RING",
-    # r5 perf-experiment gates (not user surface — will be promoted to
-    # defaults or deleted once device A/Bs land):
-    "POSFEAT_SPLITCAT",
-    "POSFEAT_MM1X1",
 )
+# r5 perf experiments, dispositioned by device A/B (PROOFS.md "Round-5
+# perf campaign"): concat-free skip iconvs (POSFEAT_SPLITCAT) measured
+# +0.6 im/s twice with equal-or-better numerics and became the bf16
+# DEFAULT (no knob); layer-1 1x1-as-matmul (POSFEAT_MM1X1) measured
+# 247.4 vs 278.6 and was retired to git history.
 # Retired in r5 (VERDICT item 6 — promote decided knobs out of the env):
 #   POSFEAT_TOPK_RECALL  -> detector_config `topk_recall` kwarg
 #   POSFEAT_HEAD_STATS   -> fused_head_tail(img_stats=) kwarg, default

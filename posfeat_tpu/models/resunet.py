@@ -82,36 +82,12 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
-class _Conv1x1MM(nn.Module):
-    """1×1 stride-1 conv expressed as an explicit [B·H·W, Cin]@[Cin, Cout]
-    dot_general (r5 perf experiment, POSFEAT_MM1X1=1): the r4 trace
-    charges ~0.11 ms/img to XLA-chosen 64-lane layouts around the
-    ResNet layer-1 expand convs; the matmul form sidesteps the conv
-    layout heuristics. Params match nn.Conv ('kernel' [1,1,Cin,Cout],
-    no bias) so checkpoints interchange."""
-
-    out_ch: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        B, H, W, C = x.shape
-        w = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (1, 1, C, self.out_ch),
-            jnp.float32,
-        )
-        y = jax.lax.dot_general(
-            x.reshape(B, H * W, C).astype(self.dtype),
-            w.reshape(C, self.out_ch).astype(self.dtype),
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return y.astype(self.dtype).reshape(B, H, W, self.out_ch)
-
-
 class Bottleneck(nn.Module):
+    # r5 A/B note: expressing the layer-1 1×1 convs as explicit
+    # dot_generals (the POSFEAT_MM1X1 experiment, retired to git
+    # history) measured 247.4 vs 278.6 im/s — XLA's chosen conv layouts
+    # for the 64-lane tensors are already the best available; the r4
+    # trace's ~0.11 ms "layout waste" is compiler-bound.
     planes: int
     stride: int = 1
     downsample: bool = False
@@ -120,40 +96,18 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        import os
-
         width = self.planes * self.width_mult
-        # layer-1 only (planes == 64): its 64-lane tensors are the
-        # layout-waste hotspot the experiment targets
-        mm1 = (
-            os.environ.get("POSFEAT_MM1X1") == "1"
-            and self.planes == 64
-            and self.stride == 1
-        )
-
-        def conv1x1(out_ch, name):
-            if mm1:
-                return _Conv1x1MM(out_ch, self.dtype, name=name)
-            return _conv(out_ch, 1, 1, self.dtype, name)
-
         identity = x
-        out = conv1x1(width, "conv1")(x)
+        out = _conv(width, 1, 1, self.dtype, "conv1")(x)
         out = _bn(train, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = _conv(width, 3, self.stride, self.dtype, "conv2")(out)
         out = _bn(train, self.dtype, "bn2")(out)
         out = nn.relu(out)
-        out = conv1x1(self.planes * 4, "conv3")(out)
+        out = _conv(self.planes * 4, 1, 1, self.dtype, "conv3")(out)
         out = _bn(train, self.dtype, "bn3")(out)
         if self.downsample:
-            if mm1:
-                identity = _Conv1x1MM(
-                    self.planes * 4, self.dtype, name="ds_conv"
-                )(x)
-            else:
-                identity = _conv(
-                    self.planes * 4, 1, self.stride, self.dtype, "ds_conv"
-                )(x)
+            identity = _conv(self.planes * 4, 1, self.stride, self.dtype, "ds_conv")(x)
             identity = _bn(train, self.dtype, "ds_bn")(identity)
         return nn.relu(out + identity)
 
@@ -330,10 +284,11 @@ class _SplitCatConv(nn.Module):
 
 class ConvBNEluSplitCat(nn.Module):
     """ConvBNElu over a (virtual) channel concat of two operands without
-    materializing the concat (r5 perf experiment, POSFEAT_SPLITCAT=1:
-    the r4 trace attributes ~0.17 ms/img to decoder layout/elementwise
-    ops, of which the two skip concats are the largest single movers).
-    Parameter tree identical to ConvBNElu ('conv' + 'bn')."""
+    materializing the concat — the bf16 default for the decoder skip
+    iconvs since r5 (device A/B 279.2 vs 278.6 im/s, two runs; one
+    fewer output rounding than the concat dataflow). Parameter tree
+    identical to ConvBNElu ('conv' + 'bn'), so checkpoints
+    interchange."""
 
     out_ch: int
     kernel: int = 3
@@ -537,11 +492,15 @@ class ResUNet(nn.Module):
             split2=wide, split_passes=3,
             name="upconv3",
         )(x3, train)
-        # POSFEAT_SPLITCAT=1 (r5 perf experiment): compute the skip-
-        # concat iconvs as two partial convs summed — the 1024/512-ch
-        # concat copies never materialize. Plain-dtype paths only (the
-        # f32/split tail variants keep the reference dataflow).
-        splitcat = os.environ.get("POSFEAT_SPLITCAT") == "1"
+        # Concat-free skip iconvs (r5): compute conv(concat(skip, up))
+        # as two partial convs summed in f32 — the 1024/512-ch concat
+        # copies never materialize and the sum rounds ONCE (one fewer
+        # rounding than the baseline). Device A/B: 279.16/279.26 vs
+        # 278.61 im/s (two runs) — small, consistent, numerics
+        # equal-or-better, so it is the bf16 DEFAULT. f32 keeps the
+        # reference concat dataflow (the exact-parity mode); the
+        # f32/split tail variants keep theirs too.
+        splitcat = bf16
         if splitcat and not wide and not acc:
             y = ConvBNEluSplitCat(512, 3, self.dtype, name="iconv3")(
                 x2, _skip_pad(y.astype(self.dtype), x2), train

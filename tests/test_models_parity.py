@@ -487,38 +487,31 @@ def test_conv_split3_matches_true_f32():
 
 
 
-def test_perf_gate_parity_splitcat_mm1x1(monkeypatch):
-    """r5 perf-experiment gates must be numerically equivalent dataflows
-    on identical params: POSFEAT_SPLITCAT (concat-free skip iconvs) and
-    POSFEAT_MM1X1 (layer-1 1x1 convs as matmuls)."""
+def test_splitcat_matches_concat_dataflow():
+    """The concat-free skip iconv (ConvBNEluSplitCat — the bf16 default
+    since r5; device A/B 279.2 vs 278.6 im/s) must equal the reference
+    concat dataflow on identical params. Parameter trees are
+    interchangeable by construction."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from posfeat_tpu.models import PoSFeat
+    from posfeat_tpu.models.resunet import (
+        ConvBNElu,
+        ConvBNEluSplitCat,
+        _skipconnect,
+    )
 
-    cfg = {
-        "backbone": "ResUNet",
-        "backbone_config": {
-            "encoder": "resnet50", "pretrained": False,
-            "coarse_out_ch": 32, "fine_out_ch": 32,
-        },
-        "localheader": "KeypointDet",
-        "localheader_config": {
-            "in_channels": 96, "prior": "identity", "act": "Softplus",
-        },
-        "align_local_grad": False,
-        "local_input_elements": ["local_map", "local_map_small"],
-        "local_with_img": True,
-    }
-    m = PoSFeat(cfg, dtype=jnp.float32)
-    v = m.init(jax.random.PRNGKey(0), im_shape=(1, 48, 48, 3))
-    im = jax.random.uniform(jax.random.PRNGKey(1), (1, 48, 64, 3))
-    base = m.extract(v, im, train=False)
-    for gate in ("POSFEAT_SPLITCAT", "POSFEAT_MM1X1"):
-        monkeypatch.setenv(gate, "1")
-        out = m.extract(v, im, train=False)
-        monkeypatch.delenv(gate)
-        for k in ("local_map", "local_point"):
-            d = float(jnp.abs(out[k] - base[k]).max())
-            scale = float(jnp.abs(base[k]).mean()) + 1e-9
-            assert d < 1e-4 * max(scale, 1.0), (gate, k, d, scale)
+    key = jax.random.PRNGKey(0)
+    ka, kb, ki = jax.random.split(key, 3)
+    a = jax.random.normal(ka, (2, 12, 16, 24))  # skip operand
+    b = jax.random.normal(kb, (2, 12, 16, 40))  # upsampled operand
+    ref_mod = ConvBNElu(32, 3, 1, jnp.float32)
+    split_mod = ConvBNEluSplitCat(32, 3, jnp.float32)
+    cat = _skipconnect(b, a)  # [a, b] channel order
+    params = ref_mod.init(ki, cat)
+    ref = ref_mod.apply(params, cat)
+    got = split_mod.apply(params, a, b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
