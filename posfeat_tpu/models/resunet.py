@@ -497,10 +497,14 @@ class ResUNet(nn.Module):
         # copies never materialize and the sum rounds ONCE (one fewer
         # rounding than the baseline). Device A/B: 279.16/279.26 vs
         # 278.61 im/s (two runs) — small, consistent, numerics
-        # equal-or-better, so it is the bf16 DEFAULT. f32 keeps the
-        # reference concat dataflow (the exact-parity mode); the
-        # f32/split tail variants keep theirs too.
-        splitcat = bf16
+        # equal-or-better, so it is the bf16 EXTRACTION default. f32
+        # keeps the reference concat dataflow (the exact-parity mode),
+        # the f32/split tail variants keep theirs, and TRAINING keeps
+        # the concat dataflow too: the f32-accumulator partial convs
+        # have no mixed-dtype VJP (lax conv transpose requires matching
+        # operand dtypes), and extraction is where the throughput
+        # contract lives.
+        splitcat = bf16 and not train
         if splitcat and not wide and not acc:
             y = ConvBNEluSplitCat(512, 3, self.dtype, name="iconv3")(
                 x2, _skip_pad(y.astype(self.dtype), x2), train
